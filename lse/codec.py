@@ -1,0 +1,233 @@
+"""Delta + varbyte posting-list compression with block-max metadata.
+
+Format semantics follow the reference's storage layer:
+* unsigned LEB128-style varint — 7 data bits per byte, high bit = continue
+  (storage/VarIntCodec.java:31-44);
+* delta coding of strictly-increasing sequences, first value absolute
+  (storage/DeltaCodec.java:30-55); non-monotone input raises;
+* one metadata entry per BLOCK_INTERVAL(=128) docs — the reference's skip
+  list (storage/PostingsWriter.java:48-60) generalized to block-max WAND
+  block boundaries: we keep (last_doc_id, byte_offset, block_max_raw_score)
+  per block so a scorer can seek AND prune.
+
+Everything is numpy-vectorized — no per-value Python in encode or decode.
+
+Posting payload layout (one term = one blob):
+    for each 128-doc block, three varbyte runs back to back:
+        varbyte(delta(doc_ids))   first doc_id delta'd against the previous
+                                  block's last doc_id (absolute in block 0)
+        varbyte(tf)               term frequencies
+        varbyte(dl)               doc lengths (token counts) — co-located so
+                                  scoring needs NO doc_stats join at 100 TB
+Block byte offsets are stored beside the blob as an int array, so blocks
+decode independently (WAND skips whole blocks without touching their bytes).
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Tuple
+
+import numpy as np
+
+from .constants import BLOCK_INTERVAL, BM25_B, BM25_K1
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """Vectorized LEB128 varbyte encode of non-negative int64 values."""
+    values = np.asarray(values, dtype=np.int64)
+    if values.size == 0:
+        return b""
+    if values.min() < 0:
+        raise ValueError("varbyte_encode: negative value")
+    v = values.astype(np.uint64)
+    # bytes needed per value: ceil(bitlength/7), min 1
+    nbits = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    while True:
+        nz = tmp > 0
+        if not nz.any():
+            break
+        nbits[nz] += 7
+        tmp = tmp >> np.uint64(7)
+    nbytes = np.maximum(nbits // 7, 1)
+    ends = np.cumsum(nbytes)
+    starts = ends - nbytes
+    total = int(ends[-1])
+    out = np.empty(total, dtype=np.uint8)
+    # fill byte k of every value that has > k bytes
+    max_b = int(nbytes.max())
+    for k in range(max_b):
+        mask = nbytes > k
+        idx = starts[mask] + k
+        chunk = (v[mask] >> np.uint64(7 * k)) & np.uint64(0x7F)
+        cont = (nbytes[mask] - 1) > k
+        out[idx] = chunk.astype(np.uint8) | (cont.astype(np.uint8) << 7)
+    return out.tobytes()
+
+
+def varbyte_decode(buf: bytes, offset: int = 0, count: int = -1) -> Tuple[np.ndarray, int]:
+    """Vectorized varbyte decode.
+
+    Decodes ``count`` values (or all, if -1) starting at byte ``offset``.
+    Returns (values int64 array, end_offset).
+    """
+    raw = np.frombuffer(buf, dtype=np.uint8, count=len(buf) - offset, offset=offset)
+    if raw.size == 0:
+        return np.empty(0, dtype=np.int64), offset
+    is_last = (raw & 0x80) == 0
+    value_ends = np.flatnonzero(is_last)  # index of terminal byte per value
+    if count >= 0:
+        if count == 0:
+            return np.empty(0, dtype=np.int64), offset
+        if value_ends.size < count:
+            raise ValueError("varbyte_decode: truncated input")
+        value_ends = value_ends[:count]
+        raw = raw[: value_ends[-1] + 1]
+    n = value_ends.size
+    starts = np.empty(n, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = value_ends[:-1] + 1
+    payload = (raw & 0x7F).astype(np.uint64)
+    # shift each byte by 7 * (position within its value), then segment-sum
+    positions = np.arange(raw.size, dtype=np.int64)
+    within = positions - np.repeat(starts, value_ends - starts + 1)
+    shifted = payload << (np.uint64(7) * within.astype(np.uint64))
+    sums = np.add.reduceat(shifted, starts)
+    return sums.astype(np.int64), offset + int(value_ends[-1]) + 1
+
+
+def delta_encode(values: np.ndarray, first_base: int = 0) -> np.ndarray:
+    """Delta-encode a strictly increasing sequence (DeltaCodec.java:30-55).
+
+    ``first_base`` lets block N delta its first doc id against block N-1's
+    last doc id. Raises on non-monotone input.
+    """
+    values = np.asarray(values, dtype=np.int64)
+    if values.size == 0:
+        return values
+    deltas = np.empty_like(values)
+    deltas[0] = values[0] - first_base
+    if values.size > 1:
+        np.subtract(values[1:], values[:-1], out=deltas[1:])
+        if (deltas[1:] <= 0).any():
+            raise ValueError("delta_encode: sequence not strictly increasing")
+    if deltas[0] < 0:
+        raise ValueError("delta_encode: first value below base")
+    return deltas
+
+
+def delta_decode(deltas: np.ndarray, first_base: int = 0) -> np.ndarray:
+    deltas = np.asarray(deltas, dtype=np.int64)
+    if deltas.size == 0:
+        return deltas
+    out = np.cumsum(deltas)
+    return out + first_base
+
+
+def raw_bm25_component(tf: np.ndarray, dl: np.ndarray, avgdl: float,
+                       k1: float = BM25_K1, b: float = BM25_B) -> np.ndarray:
+    """The per-(term,doc) BM25 factor WITHOUT idf — idf is a per-term
+    constant, so block max of this raw component * idf is an exact block-max
+    score bound (scoring/BM25Scorer.java:31-42 sans idf)."""
+    tf = np.asarray(tf, dtype=np.float64)
+    dl = np.maximum(np.asarray(dl, dtype=np.float64), 0.0)
+    safe_avgdl = avgdl if avgdl > 0 else 1.0
+    norm = 1.0 - b + b * (dl / safe_avgdl)
+    return np.where(tf > 0, (tf * (k1 + 1.0)) / (tf + k1 * norm), 0.0)
+
+
+class EncodedPostings(NamedTuple):
+    payload: bytes
+    block_last_doc: np.ndarray   # int64 per block
+    block_offset: np.ndarray     # int64 byte offset of each block in payload
+    block_max_raw: np.ndarray    # float64 max raw-BM25 component per block
+    df: int
+
+
+def encode_postings(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    avgdl: float,
+    block_interval: int = BLOCK_INTERVAL,
+) -> EncodedPostings:
+    """Compress one term's postings into the block layout described above."""
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    dls = np.asarray(dls, dtype=np.int64)
+    n = doc_ids.size
+    if not (tfs.size == n and dls.size == n):
+        raise ValueError("encode_postings: array length mismatch")
+    if n == 0:
+        empty = np.empty(0, dtype=np.int64)
+        return EncodedPostings(b"", empty, empty, np.empty(0), 0)
+    raw = raw_bm25_component(tfs, dls, avgdl)
+    nblocks = (n + block_interval - 1) // block_interval
+    parts: List[bytes] = []
+    block_last = np.empty(nblocks, dtype=np.int64)
+    block_off = np.empty(nblocks, dtype=np.int64)
+    block_max = np.empty(nblocks, dtype=np.float64)
+    off = 0
+    prev_last = 0
+    for bi in range(nblocks):
+        lo = bi * block_interval
+        hi = min(lo + block_interval, n)
+        ids = doc_ids[lo:hi]
+        blob = (
+            varbyte_encode(delta_encode(ids, first_base=prev_last))
+            + varbyte_encode(tfs[lo:hi])
+            + varbyte_encode(dls[lo:hi])
+        )
+        parts.append(blob)
+        block_last[bi] = ids[-1]
+        block_off[bi] = off
+        block_max[bi] = raw[lo:hi].max()
+        off += len(blob)
+        prev_last = int(ids[-1])
+    return EncodedPostings(b"".join(parts), block_last, block_off, block_max, n)
+
+
+def decode_postings(
+    payload: bytes,
+    df: int,
+    block_interval: int = BLOCK_INTERVAL,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode a full posting blob -> (doc_ids, tfs, dls)."""
+    n = int(df)
+    if n == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e, e
+    nblocks = (n + block_interval - 1) // block_interval
+    ids_parts, tf_parts, dl_parts = [], [], []
+    off = 0
+    prev_last = 0
+    for bi in range(nblocks):
+        lo = bi * block_interval
+        cnt = min(block_interval, n - lo)
+        deltas, off = varbyte_decode(payload, off, cnt)
+        ids = delta_decode(deltas, first_base=prev_last)
+        tfs, off = varbyte_decode(payload, off, cnt)
+        dls, off = varbyte_decode(payload, off, cnt)
+        prev_last = int(ids[-1])
+        ids_parts.append(ids)
+        tf_parts.append(tfs)
+        dl_parts.append(dls)
+    return (
+        np.concatenate(ids_parts),
+        np.concatenate(tf_parts),
+        np.concatenate(dl_parts),
+    )
+
+
+def decode_block(
+    payload: bytes,
+    block_offset: int,
+    count: int,
+    prev_last_doc: int,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode a single block independently (WAND seek path)."""
+    deltas, off = varbyte_decode(payload, int(block_offset), count)
+    ids = delta_decode(deltas, first_base=prev_last_doc)
+    tfs, off = varbyte_decode(payload, off, count)
+    dls, _ = varbyte_decode(payload, off, count)
+    return ids, tfs, dls

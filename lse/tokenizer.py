@@ -1,0 +1,144 @@
+"""Composite English/CJK tokenizer.
+
+Semantics (parity-critical — positions drive phrase queries, token counts
+drive BM25 doc length):
+
+* Non-CJK runs: split on ``[^a-zA-Z0-9]+``, lowercase, drop tokens of length
+  <= 1, optionally drop stopwords. Dropped tokens do NOT consume a position.
+  (reference: text/EnglishTokenizer.java:26-63)
+* CJK runs (Han/Hiragana/Katakana/Hangul): overlapping character bigrams; an
+  isolated single CJK char is emitted as-is (even though length 1).
+  (reference: text/BigramTokenizer.java:12-62)
+* Mixed text is segmented into maximal CJK / non-CJK runs with ONE global
+  position counter across segments; offsets are re-based to the original
+  string. (reference: text/CompositeTokenizer.java:25-59)
+
+Because dropped tokens never consume a position, emitted positions are always
+the consecutive integers 0..n-1 — the position of a token IS its index in the
+emitted sequence. The Spark build exploits this: it stores only the ordered
+term sequence and derives positions for free.
+
+Two implementations:
+* :func:`tokenize` — scalar, exact, used by the oracle and golden tests.
+* :func:`tokenize_batch` — vectorized over a pandas Series (the Arrow/pandas
+  UDF hot path). ASCII-only batches stay entirely in pandas ``.str`` /
+  C-level list ops; rows containing CJK fall back to the scalar path
+  (row-at-a-time Python never touches the Spark row loop — it is inside one
+  Arrow batch).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, NamedTuple, Optional
+
+import numpy as np
+import pandas as pd
+
+from .constants import STOPWORDS
+
+# Approximation of Java Character.UnicodeScript HAN/HIRAGANA/KATAKANA/HANGUL
+# (BigramTokenizer.java:56-62). Covers the BMP blocks + supplementary Han
+# ideographs; sufficient for real-world CJK text.
+_CJK_PATTERN = (
+    "⺀-⻳"      # CJK radicals supplement (HAN)
+    "々〇〡-〩〸-〻"  # Han punctuation-ideographs
+    "ぁ-ゖゝ-ゟ"              # Hiragana
+    "ァ-ヺヽ-ヿㇰ-ㇿ"  # Katakana (+ phonetic ext)
+    "㐀-䶿一-鿿豈-龎"  # Han
+    "ᄀ-ᇿ㄰-㆏ꥠ-ꥼ"  # Hangul jamo / compat
+    "가-힣ힰ-ퟻﾠ-ￜ"  # Hangul syllables / halfwidth
+    "ｦ-ﾝ"                            # halfwidth Katakana
+    "\U00020000-\U0002ebe0\U0002f800-\U0002fa1d"  # Han ext B..F + compat sup
+)
+_CJK_RE = re.compile(f"[{_CJK_PATTERN}]")
+_CJK_RUN_RE = re.compile(f"[{_CJK_PATTERN}]+")
+_WORD_RE = re.compile(r"[a-zA-Z0-9]+")
+_WORD_LOWER_RE = re.compile(r"[a-z0-9]+")
+
+
+class Token(NamedTuple):
+    term: str
+    position: int
+    start: int
+    end: int
+
+
+def _is_cjk(ch: str) -> bool:
+    return bool(_CJK_RE.match(ch))
+
+
+def tokenize(text: Optional[str], enable_stopwords: bool = True) -> List[Token]:
+    """Exact scalar composite tokenizer (CompositeTokenizer.java:25-59)."""
+    if not text:
+        return []
+    out: List[Token] = []
+    pos = 0
+    i = 0
+    n = len(text)
+    while i < n:
+        cjk = _is_cjk(text[i])
+        j = i + 1
+        while j < n and _is_cjk(text[j]) == cjk:
+            j += 1
+        if cjk:
+            seg_len = j - i
+            if seg_len == 1:
+                out.append(Token(text[i:j], pos, i, j))
+                pos += 1
+            else:
+                for k in range(i, j - 1):
+                    out.append(Token(text[k : k + 2], pos, k, k + 2))
+                    pos += 1
+        else:
+            for m in _WORD_RE.finditer(text, i, j):
+                term = m.group().lower()
+                if len(term) <= 1:
+                    continue
+                if enable_stopwords and term in STOPWORDS:
+                    continue
+                out.append(Token(term, pos, m.start(), m.end()))
+                pos += 1
+        i = j
+    return out
+
+
+def terms_only(text: Optional[str], enable_stopwords: bool = True) -> List[str]:
+    """Ordered emitted term sequence (position == list index)."""
+    return [t.term for t in tokenize(text, enable_stopwords)]
+
+
+def tokenize_batch(
+    texts: pd.Series, enable_stopwords: bool = True
+) -> pd.Series:
+    """Vectorized batch tokenizer: Series[str] -> Series[list[str]].
+
+    Returns, per row, the ordered emitted term sequence (positions are the
+    list indices). ASCII fast path; CJK rows delegate to :func:`tokenize`.
+    """
+    texts = texts.fillna("")
+    has_cjk = texts.str.contains(_CJK_RUN_RE, regex=True)
+    lowered = texts.str.lower()
+    raw = lowered.str.findall(_WORD_LOWER_RE)
+
+    stop = STOPWORDS if enable_stopwords else frozenset()
+
+    def _filter(tokens: list) -> list:
+        return [t for t in tokens if len(t) > 1 and t not in stop]
+
+    result = raw.map(_filter)
+    if has_cjk.any():
+        cjk_idx = texts.index[has_cjk]
+        result.loc[cjk_idx] = texts.loc[cjk_idx].map(
+            lambda t: [tok.term for tok in tokenize(t, enable_stopwords)]
+        )
+    return result
+
+
+def token_counts_batch(texts: pd.Series, enable_stopwords: bool = True) -> np.ndarray:
+    """Per-row emitted-token count (BM25 |D|, Document.java:56-58)."""
+    return np.fromiter(
+        (len(v) for v in tokenize_batch(texts, enable_stopwords)),
+        dtype=np.int64,
+        count=len(texts),
+    )
