@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Builds the full inverted index over ``$SPARK_GRAFT_SF_DIR/documents.parquet``
+(default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``, then runs the
+reference query set (one per DSL construct + the JMH workload shapes,
+IndexBenchmark.java:149-168). Prints ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "build_sec": ...,
+   "build_files_per_sec": ..., "query_p95_ms": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+BENCH_QUERIES = {
+    "term": "spark",
+    "term_topk_wand": "spark",
+    "implicit_and": "spark query",
+    "bool_and": "spark AND query",
+    "group_or": "filter AND (join OR merge)",
+    "negation": "-spark NOT join",
+    "phrase": '"table scan"',
+    "prefix": "jo*",
+    "field": "repo:src3",
+    "size_range": "size:100..300",
+    "sort_directive": "spark sort:size",
+    "multi_or_wand": "spark OR query OR join OR merge",
+}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    from lse.session import get_spark
+
+    spark = get_spark(
+        "lse-bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from pyspark.sql import functions as F
+
+    from lse.build import build_index
+    from lse.engine import SearchEngine
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n_files = docs.count()
+    source = docs.select(
+        "doc_id",
+        F.col("text").alias("content"),
+        "lang",
+        F.col("source").alias("repo"),
+        F.concat(
+            F.col("source"), F.lit("/doc_"), F.col("doc_id").cast("string"), F.lit(".txt")
+        ).alias("path"),
+        F.lit("").alias("commit"),
+    )
+
+    index_dir = tempfile.mkdtemp(prefix="lse_bench_idx_")
+    try:
+        t0 = time.perf_counter()
+        build_index(
+            spark, source, index_dir,
+            precomputed_doc_id=True,
+            n_buckets=8,
+            index_partitions=int(cpus),
+            resume=False,
+        )
+        build_sec = time.perf_counter() - t0
+
+        engine = SearchEngine(spark, index_dir)
+        engine.search("warmup", 10).collect()  # JIT/scan warmup
+
+        q_times = {}
+        for name, q in BENCH_QUERIES.items():
+            t1 = time.perf_counter()
+            if name.endswith("_wand"):
+                engine.search_topk(q, 10)
+            else:
+                engine.search(q, 10).collect()
+            q_times[name] = round(time.perf_counter() - t1, 4)
+
+        lat = sorted(q_times.values())
+        p95 = lat[max(0, int(round(0.95 * len(lat))) - 1)]
+        total = round(build_sec + sum(q_times.values()), 4)
+        print(
+            json.dumps(
+                {
+                    "metric": "index_build_plus_queryset_sec",
+                    "value": total,
+                    "unit": "sec",
+                    "queries": q_times,
+                    "sf": sf,
+                    "build_sec": round(build_sec, 4),
+                    "build_files_per_sec": round(n_files / build_sec, 2),
+                    "query_p95_sec": p95,
+                    "cpus": int(cpus),
+                    "n_files": n_files,
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

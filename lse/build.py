@@ -1,0 +1,400 @@
+"""The distributed index build — four declarative stages, each an idempotent
+parquet snapshot commit (the Spark-native analog of the reference's
+WAL + atomic segments.gen protocol, docs/PROJECT_SPEC.md:222-239: a stage
+directory with _SUCCESS is a committed checkpoint; resume skips it).
+
+Stage graph (each arrow a Catalyst-planned job):
+
+  source(repo,path,commit,lang,content)
+    └─ stage "docs"      assign doc_id + sha256 + metadata        (narrow)
+    └─ stage "term_doc"  tokenize + PER-DOC tf/positions pre-agg  (narrow!)
+    └─ stage "stats"     N, avgdl                                 (tiny agg)
+    └─ stage "doc_stats" per-doc token_count + metadata           (1 shuffle)
+    └─ stage "postings"  groupBy(term, bucket) → encode blocks    (1 shuffle)
+       stage "positions" (term, bucket, doc_id, positions)        (co-written)
+    └─ stage "manifest"  per-file lineage rows
+
+Skew handling (explicit, per the scale contract): postings are sharded over
+fixed GLOBAL doc-id-range buckets — ``bucket = doc_id >> (63-log2 B)`` for
+hash ids. A stopword-like term with df→N is split across all B buckets, so
+no single reduce task ever assembles a full hot posting list (the reference's
+single-machine merge, docs/PROJECT_SPEC.md:384-398, has exactly that
+bottleneck). Buckets are aligned across terms, which also gives the query
+side an embarrassingly parallel document-at-a-time WAND partitioning.
+The tokenizer UDF additionally pre-aggregates (term, doc) tf inside the map
+task (Arrow batch), so the shuffle moves one row per (term, doc, bucket) —
+never one row per token occurrence.
+
+Tiered segment merging (Constants.java:30-31) has no analog here: the single
+groupBy(term, bucket) shuffle IS the global merge, executed once.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass
+from typing import Iterable, List, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .codec import encode_postings
+from .constants import DEFAULT_DOCTYPE, LANG_TO_DOCTYPE
+from .ids import HASH_DOC_SPACE, assign_doc_ids
+from .tokenizer import tokenize_batch
+
+TERM_DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("term", T.StringType()),
+        T.StructField("tf", T.IntegerType()),
+        T.StructField("dl", T.IntegerType()),
+        T.StructField("positions", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+POSTINGS_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType()),
+        T.StructField("bucket", T.IntegerType()),
+        T.StructField("df_shard", T.LongType()),
+        T.StructField("doc_lo", T.LongType()),
+        T.StructField("doc_hi", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("block_last_doc", T.ArrayType(T.LongType())),
+        T.StructField("block_offset", T.ArrayType(T.LongType())),
+        T.StructField("block_max_raw", T.ArrayType(T.DoubleType())),
+        T.StructField("max_raw", T.DoubleType()),
+    ]
+)
+
+
+@dataclass
+class BuildResult:
+    index_dir: str
+    build_id: str
+    n_docs: int
+    avgdl: float
+    stages_run: List[str]
+    stages_skipped: List[str]
+
+
+def _stage_dir(index_dir: str, stage: str) -> str:
+    return os.path.join(index_dir, stage)
+
+
+def _stage_done(index_dir: str, stage: str) -> bool:
+    d = _stage_dir(index_dir, stage)
+    return os.path.exists(os.path.join(d, "_SUCCESS"))
+
+
+def _bucket_col(doc_id_col, n_buckets: int, doc_space: int):
+    if n_buckets & (n_buckets - 1):
+        raise ValueError("n_buckets must be a power of two")
+    if doc_space == HASH_DOC_SPACE:
+        shift = 63 - int(np.log2(n_buckets))
+        return F.shiftrightunsigned(doc_id_col, shift).cast("int")
+    width = max(1, -(-doc_space // n_buckets))  # ceil div
+    return F.floor(doc_id_col / F.lit(width)).cast("int")
+
+
+def _doctype_expr():
+    expr = F.lit(DEFAULT_DOCTYPE)
+    for lang, dt in LANG_TO_DOCTYPE.items():
+        expr = F.when(F.lower(F.col("lang")) == lang, dt).otherwise(expr)
+    return expr
+
+
+def tokenize_to_term_doc(docs: DataFrame, enable_stopwords: bool = True,
+                         with_positions: bool = True) -> DataFrame:
+    """(doc_id, content) → (doc_id, term, tf, dl, positions): the tokenizer
+    UDTF with map-side per-doc aggregation (reference T1–T5 + A1 fused)."""
+
+    def run(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            token_lists = tokenize_batch(pdf["content"], enable_stopwords)
+            out_doc, out_term, out_tf, out_dl, out_pos = [], [], [], [], []
+            for doc_id, terms in zip(pdf["doc_id"].to_numpy(), token_lists):
+                dl = len(terms)
+                if dl == 0:
+                    continue
+                agg: dict = {}
+                for pos, term in enumerate(terms):
+                    slot = agg.get(term)
+                    if slot is None:
+                        agg[term] = slot = [0, [] if with_positions else None]
+                    slot[0] += 1
+                    if with_positions:
+                        slot[1].append(pos)
+                for term, (tf, positions) in agg.items():
+                    out_doc.append(doc_id)
+                    out_term.append(term)
+                    out_tf.append(tf)
+                    out_dl.append(dl)
+                    out_pos.append(positions)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_doc, dtype="int64"),
+                    "term": pd.Series(out_term, dtype="object"),
+                    "tf": pd.Series(out_tf, dtype="int32"),
+                    "dl": pd.Series(out_dl, dtype="int32"),
+                    "positions": pd.Series(out_pos, dtype="object"),
+                }
+            )
+
+    return docs.select("doc_id", "content").mapInPandas(run, TERM_DOC_SCHEMA)
+
+
+def _encode_groups(avgdl: float):
+    def encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        term, bucket = key
+        pdf = pdf.sort_values("doc_id")
+        ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+        enc = encode_postings(
+            ids,
+            pdf["tf"].to_numpy(dtype=np.int64),
+            pdf["dl"].to_numpy(dtype=np.int64),
+            avgdl=avgdl,
+        )
+        return pd.DataFrame(
+            {
+                "term": [term],
+                "bucket": [bucket],
+                "df_shard": [enc.df],
+                "doc_lo": [int(ids[0])],
+                "doc_hi": [int(ids[-1])],
+                "payload": [enc.payload],
+                "block_last_doc": [enc.block_last_doc.tolist()],
+                "block_offset": [enc.block_offset.tolist()],
+                "block_max_raw": [enc.block_max_raw.tolist()],
+                "max_raw": [float(enc.block_max_raw.max())],
+            }
+        )
+
+    return encode
+
+
+def build_index(
+    spark: SparkSession,
+    source: DataFrame,
+    index_dir: str,
+    *,
+    doc_id_mode: str = "hash",
+    precomputed_doc_id: bool = False,
+    enable_stopwords: bool = True,
+    with_positions: bool = True,
+    n_buckets: int = 8,
+    index_partitions: int = 16,
+    build_id: Optional[str] = None,
+    resume: bool = True,
+    stop_after_stage: Optional[str] = None,
+) -> Optional[BuildResult]:
+    """Build (or resume) the full index under ``index_dir``.
+
+    ``stop_after_stage`` simulates a crash after that stage's snapshot commit
+    (for resume tests). Returns None when stopped early.
+    """
+    os.makedirs(index_dir, exist_ok=True)
+    build_id = build_id or uuid.uuid4().hex[:12]
+    ran: List[str] = []
+    skipped: List[str] = []
+    t0 = time.time()
+
+    def committed(stage: str) -> bool:
+        if resume and _stage_done(index_dir, stage):
+            skipped.append(stage)
+            return True
+        return False
+
+    def commit(stage: str, df: DataFrame, partition_cols=None, sort_cols=None,
+               partitions: Optional[int] = None):
+        out = df
+        if partition_cols:
+            out = out.repartitionByRange(partitions or index_partitions, *partition_cols)
+            if sort_cols:
+                out = out.sortWithinPartitions(*sort_cols)
+        out.write.mode("overwrite").parquet(_stage_dir(index_dir, stage))
+        ran.append(stage)
+
+    def stop_requested(stage: str) -> bool:
+        return stop_after_stage == stage
+
+    # ---------------------------------------------------------- stage: docs
+    if not committed("docs"):
+        if precomputed_doc_id or "doc_id" in source.columns:
+            docs = source
+        else:
+            docs = assign_doc_ids(source, mode=doc_id_mode)
+        docs = docs.withColumn("content_sha256", F.sha2(F.col("content"), 256))
+        docs = docs.withColumn("size_bytes", F.octet_length("content").cast("long"))
+        if "lang" not in docs.columns:
+            docs = docs.withColumn("lang", F.lit(""))
+        docs = docs.withColumn("doc_type", _doctype_expr())
+        for col in ("repo", "path", "commit"):
+            if col not in docs.columns:
+                docs = docs.withColumn(col, F.lit(""))
+        if "mtime" not in docs.columns:
+            docs = docs.withColumn("mtime", F.lit(None).cast("timestamp"))
+        commit(
+            "docs",
+            docs.select(
+                "doc_id", "repo", "path", "commit", "lang", "doc_type",
+                "size_bytes", "mtime", "content", "content_sha256",
+            ),
+            partition_cols=["doc_id"],
+            sort_cols=["doc_id"],
+        )
+    if stop_requested("docs"):
+        return None
+    docs = spark.read.parquet(_stage_dir(index_dir, "docs"))
+
+    doc_space = HASH_DOC_SPACE
+    if doc_id_mode == "dense" or precomputed_doc_id or "doc_id" in source.columns:
+        doc_space = int(docs.agg(F.max("doc_id")).first()[0]) + 1
+
+    # ------------------------------------------------------ stage: term_doc
+    if not committed("term_doc"):
+        term_doc = tokenize_to_term_doc(docs, enable_stopwords, with_positions)
+        term_doc = term_doc.withColumn(
+            "bucket", _bucket_col(F.col("doc_id"), n_buckets, doc_space)
+        )
+        commit("term_doc", term_doc, partition_cols=["term", "bucket"],
+               sort_cols=["term", "bucket", "doc_id"])
+    if stop_requested("term_doc"):
+        return None
+    term_doc = spark.read.parquet(_stage_dir(index_dir, "term_doc"))
+
+    # --------------------------------------------------------- stage: stats
+    if not committed("stats"):
+        n_docs = docs.count()
+        total_tokens = term_doc.agg(F.sum("tf")).first()[0] or 0
+        avgdl = float(total_tokens) / n_docs if n_docs else 0.0
+        stats_pdf = pd.DataFrame(
+            [
+                dict(
+                    build_id=build_id,
+                    n_docs=n_docs,
+                    total_tokens=int(total_tokens),
+                    avgdl=avgdl,
+                    # 2^63 (hash id space) overflows int64; -1 is its sentinel
+                    doc_space=doc_space if doc_space < HASH_DOC_SPACE else -1,
+                    n_buckets=n_buckets,
+                    enable_stopwords=enable_stopwords,
+                    with_positions=with_positions,
+                )
+            ]
+        )
+        spark.createDataFrame(stats_pdf).coalesce(1).write.mode("overwrite").parquet(
+            _stage_dir(index_dir, "stats")
+        )
+        ran.append("stats")
+    if stop_requested("stats"):
+        return None
+    stats = spark.read.parquet(_stage_dir(index_dir, "stats")).first().asDict()
+
+    # ----------------------------------------------------- stage: doc_stats
+    if not committed("doc_stats"):
+        dl_per_doc = term_doc.groupBy("doc_id").agg(
+            F.sum("tf").cast("long").alias("token_count")
+        )
+        doc_stats = (
+            docs.drop("content")
+            .join(dl_per_doc, "doc_id", "left")
+            .fillna({"token_count": 0})
+        )
+        commit("doc_stats", doc_stats, partition_cols=["doc_id"], sort_cols=["doc_id"])
+    if stop_requested("doc_stats"):
+        return None
+
+    # ------------------------------------------------------ stage: postings
+    if not committed("postings"):
+        enc = (
+            term_doc.select("term", "bucket", "doc_id", "tf", "dl")
+            .groupBy("term", "bucket")
+            .applyInPandas(_encode_groups(stats["avgdl"]), POSTINGS_SCHEMA)
+        )
+        df_global = enc.groupBy("term").agg(F.sum("df_shard").alias("df"))
+        postings = enc.join(df_global, "term")
+        commit("postings", postings, partition_cols=["term", "bucket"],
+               sort_cols=["term", "bucket"])
+    if stop_requested("postings"):
+        return None
+
+    # ----------------------------------------------------- stage: positions
+    if with_positions and not committed("positions"):
+        positions = term_doc.select("term", "bucket", "doc_id", "positions")
+        commit("positions", positions, partition_cols=["term", "bucket"],
+               sort_cols=["term", "bucket", "doc_id"])
+    if stop_requested("positions"):
+        return None
+
+    # ------------------------------------------------------ stage: manifest
+    if not committed("manifest"):
+        post = spark.read.parquet(_stage_dir(index_dir, "postings"))
+        lineage = (
+            post.select(
+                F.input_file_name().alias("file"),
+                "term",
+                "bucket",
+                "df_shard",
+                F.octet_length("payload").alias("payload_bytes"),
+            )
+            .groupBy("file")
+            .agg(
+                F.min("term").alias("term_min"),
+                F.max("term").alias("term_max"),
+                F.min("bucket").alias("bucket_min"),
+                F.max("bucket").alias("bucket_max"),
+                F.count("*").alias("rows"),
+                F.sum("df_shard").alias("doc_count"),
+                F.sum("payload_bytes").alias("payload_bytes"),
+            )
+            .withColumn("build_id", F.lit(build_id))
+            .withColumn("stage", F.lit("postings"))
+        )
+        lineage.coalesce(1).write.mode("overwrite").parquet(
+            _stage_dir(index_dir, "manifest")
+        )
+        ran.append("manifest")
+
+    meta = dict(
+        build_id=build_id,
+        built_at_unix=int(t0),
+        wall_secs=time.time() - t0,
+        stages_run=ran,
+        stages_skipped=skipped,
+    )
+    with open(os.path.join(index_dir, "build_meta.json"), "w") as fh:
+        json.dump(meta, fh, indent=2)
+
+    return BuildResult(
+        index_dir=index_dir,
+        build_id=build_id,
+        n_docs=int(stats["n_docs"]),
+        avgdl=float(stats["avgdl"]),
+        stages_run=ran,
+        stages_skipped=skipped,
+    )
+
+
+def verify_content_sha(spark: SparkSession, source: DataFrame, index_dir: str) -> int:
+    """Per-row content-sha256 invariant vs the source table (input_hint).
+    Returns the number of mismatching/missing rows (0 == verified)."""
+    docs = spark.read.parquet(_stage_dir(index_dir, "docs")).select(
+        "repo", "path", "commit", F.col("content_sha256").alias("indexed_sha")
+    )
+    src = source.select(
+        "repo", "path", "commit", F.sha2(F.col("content"), 256).alias("src_sha")
+    )
+    joined = src.join(docs, ["repo", "path", "commit"], "full_outer")
+    return joined.filter(
+        F.col("indexed_sha").isNull()
+        | F.col("src_sha").isNull()
+        | (F.col("indexed_sha") != F.col("src_sha"))
+    ).count()

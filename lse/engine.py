@@ -1,0 +1,341 @@
+"""Query execution: AST → DataFrame plan compiler + WAND top-k paths.
+
+Two execution strategies over the same on-disk index:
+
+* :meth:`SearchEngine.compile` — every DSL node becomes a declarative
+  DataFrame expression (Catalyst optimizes, filters push down to the
+  term-sorted parquet scan). Scoring runs in Spark SQL (JVM codegen, the
+  same ``Math.log`` the reference uses). This is the general path: it
+  supports the full AST (boolean, NOT, field, range, phrase, prefix, sort
+  directives) and arbitrarily large results.
+
+* :meth:`SearchEngine.search_topk` — the latency path for pure
+  term/OR-of-terms queries: the handful of (term, bucket) posting shards is
+  scored document-at-a-time with block-max WAND (lse.wand) inside
+  ``applyInPandas`` grouped by doc-range bucket (buckets are aligned across
+  terms by construction), then the per-bucket top-k lists fold into the
+  global top-k. Rank-safe — returns exactly the exhaustive scorer's top-k.
+
+Semantics parity map (reference QueryEngine.java):
+  Term :211-242   Prefix :244-259  Phrase :261-341  Bool :194-207
+  NOT :181-190    Field :343-368   Range :370-395   sort :133-157
+Scores are BM25 with global df, N, avgdl (scoring/BM25Scorer.java:31-42);
+final order is (score desc, doc_id asc) — the pinned deterministic
+tie-break (SURVEY.md §2.5).
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timezone
+from functools import reduce
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import querydsl
+from .codec import decode_postings
+from .constants import BM25_B, BM25_K1, MAX_SEARCH_LIMIT
+from .querydsl import Bool, Field, Node, Not, Phrase, Prefix, Range, Term
+from .wand import TermCursor, wand_topk
+
+_DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("tf", T.IntegerType()),
+        T.StructField("dl", T.IntegerType()),
+        T.StructField("df", T.LongType()),
+    ]
+)
+
+_TOPK_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("score", T.DoubleType()),
+    ]
+)
+
+
+def _decode_rows(batches: Iterable[pd.DataFrame]):
+    for pdf in batches:
+        outs = []
+        for payload, df_shard, df_global, term in zip(
+            pdf["payload"], pdf["df_shard"], pdf["df"], pdf["term"]
+        ):
+            ids, tfs, dls = decode_postings(bytes(payload), int(df_shard))
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "term": term,
+                        "doc_id": ids,
+                        "tf": tfs.astype("int32"),
+                        "dl": dls.astype("int32"),
+                        "df": np.int64(df_global),
+                    }
+                )
+            )
+        yield pd.concat(outs) if outs else pd.DataFrame(
+            {c.name: pd.Series(dtype="object") for c in _DECODED_SCHEMA}
+        )
+
+
+class SearchEngine:
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.postings = spark.read.parquet(os.path.join(index_dir, "postings"))
+        self.doc_stats = spark.read.parquet(os.path.join(index_dir, "doc_stats"))
+        self.stats = spark.read.parquet(os.path.join(index_dir, "stats")).first().asDict()
+        pos_dir = os.path.join(index_dir, "positions")
+        self.positions = (
+            spark.read.parquet(pos_dir)
+            if self.stats.get("with_positions") and os.path.exists(pos_dir)
+            else None
+        )
+        self.N = max(int(self.stats["n_docs"]), 1)
+        self.avgdl = max(float(self.stats["avgdl"]), 1.0)
+
+    # ------------------------------------------------------------ utilities
+    def _empty(self) -> DataFrame:
+        return self.spark.createDataFrame([], "doc_id long, score double")
+
+    def _score_expr(self):
+        """BM25 in Spark SQL — identical formula/floors to bm25.score."""
+        n = F.lit(float(self.N))
+        df_b = F.greatest(F.lit(0.0), F.least(F.col("df").cast("double"), n))
+        idf = F.log((n - df_b + 0.5) / (df_b + 0.5) + 1.0)
+        dl = F.greatest(F.col("dl").cast("double"), F.lit(0.0))
+        norm = F.lit(1.0 - BM25_B) + F.lit(BM25_B) * (dl / F.lit(self.avgdl))
+        tf = F.col("tf").cast("double")
+        return F.when(
+            tf > 0, idf * (tf * F.lit(BM25_K1 + 1.0)) / (tf + F.lit(BM25_K1) * norm)
+        ).otherwise(F.lit(0.0))
+
+    def _decoded(self, postings: DataFrame) -> DataFrame:
+        return postings.select("term", "payload", "df_shard", "df").mapInPandas(
+            _decode_rows, _DECODED_SCHEMA
+        )
+
+    def _scored_terms(self, terms: Sequence[str]) -> DataFrame:
+        """(term, doc_id, score) for the given normalized terms."""
+        terms = [t for t in {t.lower() for t in terms} if t.strip()]
+        if not terms:
+            return self.spark.createDataFrame([], "term string, doc_id long, score double")
+        rows = self.postings.filter(F.col("term").isin(terms))
+        return self._decoded(rows).select(
+            "term", "doc_id", self._score_expr().alias("score")
+        )
+
+    # ------------------------------------------------------- node evaluation
+    def compile(self, node: Node) -> DataFrame:
+        """AST → DataFrame(doc_id, score)."""
+        if isinstance(node, Term):
+            t = node.term.lower()
+            if not t.strip():
+                return self._empty()
+            return self._scored_terms([t]).select("doc_id", "score")
+        if isinstance(node, Prefix):
+            p = node.prefix.lower()
+            if not p.strip():
+                return self._empty()
+            rows = self.postings.filter(F.col("term").startswith(p))
+            return (
+                self._decoded(rows)
+                .select("doc_id", self._score_expr().alias("score"))
+                .groupBy("doc_id")
+                .agg(F.sum("score").alias("score"))
+            )
+        if isinstance(node, Phrase):
+            return self._compile_phrase(list(node.terms))
+        if isinstance(node, Field):
+            return self._compile_field(node)
+        if isinstance(node, Range):
+            return self._compile_range(node)
+        if isinstance(node, Not):
+            child = self.compile(node.child)
+            return (
+                self.doc_stats.select("doc_id")
+                .join(child.select("doc_id"), "doc_id", "left_anti")
+                .withColumn("score", F.lit(0.0))
+            )
+        if isinstance(node, Bool):
+            left = self.compile(node.left)
+            right = self.compile(node.right)
+            if node.op == "AND":
+                return (
+                    left.alias("l")
+                    .join(right.alias("r"), "doc_id", "inner")
+                    .select(
+                        "doc_id",
+                        (F.col("l.score") + F.col("r.score")).alias("score"),
+                    )
+                )
+            return (
+                left.unionByName(right)
+                .groupBy("doc_id")
+                .agg(F.sum("score").alias("score"))
+            )
+        return self._empty()
+
+    def _compile_phrase(self, terms: List[str]) -> DataFrame:
+        terms = [t.lower() for t in terms if t and t.strip()]
+        if not terms or self.positions is None:
+            return self._empty()
+        # adjacency chain: term_i must appear at pos0 + i (QueryEngine.java:309-341)
+        pos = self.positions.filter(F.col("term").isin(list(set(terms))))
+        exploded = pos.select(
+            "term", "doc_id", F.explode("positions").alias("pos")
+        )
+        chain = (
+            exploded.filter(F.col("term") == terms[0])
+            .select("doc_id", F.col("pos").alias("p0"))
+        )
+        for i, t in enumerate(terms[1:], start=1):
+            nxt = exploded.filter(F.col("term") == t).select(
+                "doc_id", (F.col("pos") - i).alias("p0")
+            )
+            chain = chain.join(nxt, ["doc_id", "p0"], "inner")
+        matched = chain.select("doc_id").distinct()
+        # score = Σ member-term BM25 (duplicates in the term list add twice)
+        scored = self._scored_terms(terms)
+        per_occurrence = [
+            scored.filter(F.col("term") == t).select("doc_id", "score") for t in terms
+        ]
+        summed = (
+            reduce(DataFrame.unionByName, per_occurrence)
+            .groupBy("doc_id")
+            .agg(F.sum("score").alias("score"))
+        )
+        return summed.join(matched, "doc_id", "inner").select("doc_id", "score")
+
+    def _compile_field(self, node: Field) -> DataFrame:
+        f, v = node.field, node.value
+        ds = self.doc_stats
+        if f == "path":
+            cond = F.col("path").startswith(v.replace("\\", "/"))
+        elif f in ("ext", "lang"):
+            cond = F.lower(F.col("lang")) == v.lower()
+        elif f == "repo":
+            cond = F.col("repo") == v
+        elif f in ("filename", "name"):
+            lv = v.lower()
+            cond = (F.lower(F.col("path")) == lv) | F.lower(F.col("path")).endswith(
+                "/" + lv
+            )
+        elif f == "type":
+            tv = v.upper()
+            if tv not in {"CODE", "NOTE", "DOC", "DATA", "CONFIG", "OTHER"}:
+                return self._empty()
+            cond = F.col("doc_type") == tv
+        else:
+            return self._empty()
+        return ds.filter(cond).select("doc_id", F.lit(1.0).alias("score"))
+
+    def _compile_range(self, node: Range) -> DataFrame:
+        ds = self.doc_stats
+        try:
+            if node.field == "size":
+                lo, hi = int(node.lo), int(node.hi)
+                cond = F.col("size_bytes").between(lo, hi)
+            elif node.field == "mtime":
+                lo_t = datetime.fromisoformat(node.lo.replace("Z", "+00:00"))
+                hi_t = datetime.fromisoformat(node.hi.replace("Z", "+00:00"))
+                cond = F.col("mtime").between(
+                    lo_t.astimezone(timezone.utc).replace(tzinfo=None),
+                    hi_t.astimezone(timezone.utc).replace(tzinfo=None),
+                )
+            else:
+                return self._empty()
+        except (ValueError, TypeError):
+            return self._empty()  # silent, QueryEngine.java:392-394
+        return ds.filter(cond).select("doc_id", F.lit(1.0).alias("score"))
+
+    # ---------------------------------------------------------------- search
+    def search(self, query: str, limit: int = 10) -> DataFrame:
+        """Full DSL search → DataFrame(doc_id, score) in final rank order."""
+        limit = max(0, min(limit, MAX_SEARCH_LIMIT))
+        result = querydsl.parse(query)
+        scores = self.compile(result.ast)
+        if result.sort is not None and result.sort.field in ("mtime", "size"):
+            field = "size_bytes" if result.sort.field == "size" else "mtime"
+            return (
+                scores.join(self.doc_stats.select("doc_id", field), "doc_id", "left")
+                .orderBy(F.col(field).desc(), F.col("doc_id").asc())
+                .select("doc_id", "score")
+                .limit(limit)
+            )
+        return scores.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(limit)
+
+    def search_result(self, query: str, limit: int = 10) -> Tuple[List[Tuple[int, float]], int]:
+        """(top-k [(doc_id, score)], totalMatches) — SearchResult parity."""
+        result = querydsl.parse(query)
+        scores = self.compile(result.ast).cache()
+        try:
+            total = scores.count()
+            top = self.search(query, limit).collect()
+            return [(r["doc_id"], r["score"]) for r in top], total
+        finally:
+            scores.unpersist()
+
+    # --------------------------------------------------------- WAND fast path
+    def wand_terms(self, node: Node) -> Optional[List[str]]:
+        """Terms if the AST is a pure OR-of-terms tree, else None."""
+        if isinstance(node, Term):
+            return [node.term.lower()]
+        if isinstance(node, Bool) and node.op == "OR":
+            l = self.wand_terms(node.left)
+            r = self.wand_terms(node.right)
+            if l is not None and r is not None:
+                return l + r
+        return None
+
+    def search_topk(self, query: str, limit: int = 10) -> List[Tuple[int, float]]:
+        """Top-k via distributed block-max WAND when the query is an
+        OR-of-terms; falls back to the DataFrame path otherwise."""
+        limit = max(0, min(limit, MAX_SEARCH_LIMIT))
+        result = querydsl.parse(query)
+        terms = self.wand_terms(result.ast)
+        if terms is None or result.sort is not None:
+            rows = self.search(query, limit).collect()
+            return [(r["doc_id"], r["score"]) for r in rows]
+        terms = sorted({t for t in terms if t.strip()})
+        if not terms:
+            return []
+        rows = self.postings.filter(F.col("term").isin(terms))
+        N, avgdl, k = self.N, self.avgdl, limit
+
+        def bucket_wand(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            cursors = []
+            for r in pdf.itertuples(index=False):
+                dfg = int(r.df)
+                idf = float(np.log((N - min(max(dfg, 0), N) + 0.5) / (min(max(dfg, 0), N) + 0.5) + 1.0))
+                cursors.append(
+                    TermCursor(
+                        bytes(r.payload),
+                        r.block_last_doc,
+                        r.block_offset,
+                        r.block_max_raw,
+                        int(r.df_shard),
+                        idf,
+                    )
+                )
+            hits = wand_topk(cursors, k, avgdl)
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([h[0] for h in hits], dtype="int64"),
+                    "score": pd.Series([h[1] for h in hits], dtype="float64"),
+                }
+            )
+
+        per_bucket = rows.groupBy("bucket").applyInPandas(bucket_wand, _TOPK_SCHEMA)
+        top = (
+            per_bucket.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(k)
+            .collect()
+        )
+        return [(r["doc_id"], r["score"]) for r in top]

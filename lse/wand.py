@@ -1,0 +1,250 @@
+"""Block-max WAND top-k scoring kernel (numpy, document-at-a-time).
+
+The reference reads whole posting lists and scores every posting
+(query/QueryEngine.java:211-242); its skip lists
+(storage/PostingsWriter.java:48-60) exist but are never used for pruning.
+Here each 128-doc block carries an exact per-block upper bound of the
+idf-free BM25 component (codec.encode_postings), so WAND can
+
+* pick a pivot from per-term global upper bounds,
+* verify the pivot against the SUM OF BLOCK maxima before decoding,
+* skip whole blocks without ever touching their bytes.
+
+Exactness: pruning uses ``upper_bound <= threshold`` which is rank-safe under
+the engine-wide tie-break (score desc, doc_id asc) because docs are visited
+in increasing doc_id order — an incumbent heap entry with equal score always
+has a smaller doc_id and therefore wins the tie. Tests assert WAND returns
+EXACTLY the exhaustive scorer's top-k.
+"""
+
+from __future__ import annotations
+
+import heapq
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .bm25 import idf as idf_fn
+from .codec import decode_block, decode_postings, raw_bm25_component
+from .constants import BLOCK_INTERVAL, BM25_B, BM25_K1
+
+
+class TermCursor:
+    """Lazy block-decoding cursor over one encoded posting shard."""
+
+    __slots__ = (
+        "payload", "block_last", "block_off", "block_max", "df_shard",
+        "idf", "n_blocks", "bi", "ids", "tfs", "dls", "pos", "exhausted",
+    )
+
+    def __init__(self, payload: bytes, block_last, block_off, block_max,
+                 df_shard: int, idf: float):
+        self.payload = payload
+        self.block_last = np.asarray(block_last, dtype=np.int64)
+        self.block_off = np.asarray(block_off, dtype=np.int64)
+        self.block_max = np.asarray(block_max, dtype=np.float64)
+        self.df_shard = int(df_shard)
+        self.idf = float(idf)
+        self.n_blocks = len(self.block_last)
+        self.bi = -1
+        self.ids = self.tfs = self.dls = None
+        self.pos = 0
+        self.exhausted = self.df_shard == 0
+        if not self.exhausted:
+            self._load_block(0)
+
+    # ------------------------------------------------------------ internals
+    def _block_count(self, bi: int) -> int:
+        if bi < self.n_blocks - 1:
+            return BLOCK_INTERVAL
+        return self.df_shard - bi * BLOCK_INTERVAL
+
+    def _load_block(self, bi: int) -> None:
+        prev_last = int(self.block_last[bi - 1]) if bi > 0 else 0
+        self.ids, self.tfs, self.dls = decode_block(
+            self.payload, int(self.block_off[bi]), self._block_count(bi), prev_last
+        )
+        self.bi = bi
+        self.pos = 0
+
+    # -------------------------------------------------------------- queries
+    @property
+    def max_score(self) -> float:
+        return self.idf * float(self.block_max.max()) if self.n_blocks else 0.0
+
+    def cur_doc(self) -> int:
+        return int(self.ids[self.pos])
+
+    def cur_block_max_score(self) -> float:
+        return self.idf * float(self.block_max[self.bi])
+
+    def cur_block_last(self) -> int:
+        return int(self.block_last[self.bi])
+
+    def score_current(self, avgdl: float) -> float:
+        tf = float(self.tfs[self.pos])
+        dl = max(float(self.dls[self.pos]), 0.0)
+        safe_avgdl = avgdl if avgdl > 0 else 1.0
+        norm = 1.0 - BM25_B + BM25_B * (dl / safe_avgdl)
+        return self.idf * (tf * (BM25_K1 + 1.0)) / (tf + BM25_K1 * norm)
+
+    # ------------------------------------------------------------- movement
+    def advance(self) -> None:
+        self.pos += 1
+        if self.pos >= len(self.ids):
+            if self.bi + 1 >= self.n_blocks:
+                self.exhausted = True
+            else:
+                self._load_block(self.bi + 1)
+
+    def seek(self, target: int) -> None:
+        """Advance to the first doc >= target (block-skipping)."""
+        if self.exhausted or self.cur_doc() >= target:
+            return
+        if self.block_last[self.bi] < target:
+            nxt = int(np.searchsorted(self.block_last, target, side="left"))
+            if nxt >= self.n_blocks:
+                self.exhausted = True
+                return
+            self._load_block(nxt)
+        self.pos = int(np.searchsorted(self.ids, target, side="left"))
+        if self.pos >= len(self.ids):  # can't happen if block_last correct
+            self.advance()
+
+    def skip_past_block(self) -> None:
+        """Jump past the current block (block-max pruned)."""
+        if self.bi + 1 >= self.n_blocks:
+            self.exhausted = True
+        else:
+            self._load_block(self.bi + 1)
+
+
+class TopK:
+    """Bounded heap with (score desc, doc_id asc) selection order."""
+
+    def __init__(self, k: int):
+        self.k = k
+        self.heap: List[Tuple[float, int]] = []  # (score, -doc_id) min-heap
+
+    def threshold(self) -> float:
+        return self.heap[0][0] if len(self.heap) >= self.k else float("-inf")
+
+    def offer(self, doc_id: int, score: float) -> None:
+        key = (score, -doc_id)
+        if len(self.heap) < self.k:
+            heapq.heappush(self.heap, key)
+        elif key > self.heap[0]:
+            heapq.heapreplace(self.heap, key)
+
+    def items(self) -> List[Tuple[int, float]]:
+        out = [(-nd, s) for s, nd in self.heap]
+        out.sort(key=lambda t: (-t[1], t[0]))
+        return out
+
+
+def wand_topk(
+    cursors: Sequence[TermCursor],
+    k: int,
+    avgdl: float,
+    initial_threshold: float = float("-inf"),
+) -> List[Tuple[int, float]]:
+    """Exact top-k over the OR of the given term cursors (score = sum)."""
+    top = TopK(k)
+    live = [c for c in cursors if not c.exhausted]
+    while live:
+        live = [c for c in live if not c.exhausted]
+        if not live:
+            break
+        live.sort(key=lambda c: c.cur_doc())
+        theta = max(top.threshold(), initial_threshold)
+        # pivot: first prefix whose summed term upper bounds exceed theta
+        acc = 0.0
+        pivot_idx: Optional[int] = None
+        for i, c in enumerate(live):
+            acc += c.max_score
+            if acc > theta:
+                pivot_idx = i
+                break
+        if pivot_idx is None:
+            break  # not even the full sum can beat theta
+        pivot_doc = live[pivot_idx].cur_doc()
+        # extend the prefix over every cursor positioned at the pivot doc —
+        # their mass must be part of the block-max bound
+        ext = pivot_idx
+        while ext + 1 < len(live) and live[ext + 1].cur_doc() <= pivot_doc:
+            ext += 1
+        if live[0].cur_doc() == pivot_doc:
+            # shallow-align each prefix cursor's block AT the pivot doc (no
+            # decode) and sum those blocks' maxima — the BMW refinement
+            block_ub = 0.0
+            boundary: Optional[int] = None
+            for c in live[: ext + 1]:
+                j = int(np.searchsorted(c.block_last, pivot_doc, side="left"))
+                if j >= c.n_blocks:
+                    continue  # cursor has no postings at/after the pivot
+                block_ub += c.idf * float(c.block_max[j])
+                bl = int(c.block_last[j])
+                boundary = bl if boundary is None else min(boundary, bl)
+            if block_ub <= theta:
+                # prune: jump past the nearest block boundary, but never past
+                # the next doc of a cursor outside the prefix (its mass was
+                # not counted in the bound)
+                d = (boundary if boundary is not None else pivot_doc) + 1
+                if ext + 1 < len(live):
+                    d = min(d, live[ext + 1].cur_doc())
+                for c in live[: ext + 1]:
+                    if not c.exhausted and c.cur_doc() < d:
+                        c.seek(d)
+                continue
+            score = 0.0
+            for c in live[: ext + 1]:
+                if not c.exhausted and c.cur_doc() == pivot_doc:
+                    score += c.score_current(avgdl)
+            top.offer(pivot_doc, score)
+            for c in live[: ext + 1]:
+                if not c.exhausted and c.cur_doc() == pivot_doc:
+                    c.advance()
+        else:
+            for c in live[:pivot_idx]:
+                if not c.exhausted and c.cur_doc() < pivot_doc:
+                    c.seek(pivot_doc)
+    return top.items()
+
+
+def exhaustive_scores(
+    term_rows: Dict[str, list],
+    n_docs: int,
+    avgdl: float,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Fully-vectorized exhaustive OR scoring over decoded postings.
+
+    ``term_rows``: term → list of (payload, df_shard, df_global) shards.
+    Returns (doc_ids, scores) for every matching doc.
+    """
+    all_ids: List[np.ndarray] = []
+    all_scores: List[np.ndarray] = []
+    for _term, shards in term_rows.items():
+        if not shards:
+            continue
+        df_global = int(shards[0][2])
+        idf_v = idf_fn(df_global, n_docs)
+        for payload, df_shard, _dfg in shards:
+            ids, tfs, dls = decode_postings(payload, int(df_shard))
+            raw = raw_bm25_component(tfs, dls, avgdl)
+            all_ids.append(ids)
+            all_scores.append(idf_v * raw)
+    if not all_ids:
+        return np.empty(0, dtype=np.int64), np.empty(0)
+    ids = np.concatenate(all_ids)
+    scores = np.concatenate(all_scores)
+    uniq, inverse = np.unique(ids, return_inverse=True)
+    summed = np.zeros(len(uniq))
+    np.add.at(summed, inverse, scores)
+    return uniq, summed
+
+
+def topk_from_scores(doc_ids: np.ndarray, scores: np.ndarray, k: int) -> List[Tuple[int, float]]:
+    if doc_ids.size == 0 or k <= 0:
+        return []
+    order = np.lexsort((doc_ids, -scores))[:k]
+    return [(int(doc_ids[i]), float(scores[i])) for i in order]

@@ -1,0 +1,61 @@
+"""End-to-end parity: the Spark engine's (doc_id, score) results must be
+rank-identical and score-equal (±1e-9) to the pure-pandas reference replica
+(lse.oracle) on the reference query set (FIXTURES.md F4)."""
+
+import pytest
+
+from lse.engine import SearchEngine
+from lse.oracle import OracleIndex
+
+QUERIES = [
+    "java",                                  # term
+    "java programming",                      # implicit AND
+    "java AND programming",                  # explicit AND
+    "error AND (timeout OR retry)",          # grouping + OR
+    "-draft NOT internal",                   # negation
+    '"distributed system"',                  # phrase adjacency
+    '"machine learning"',                    # JMH phrase query
+    "config*",                               # prefix
+    "lang:md",                               # field filter
+    "ext:java",                              # field alias
+    "path:src/core",                         # path prefix
+    "type:code",                             # doc-type filter
+    "size:100..900",                         # numeric range
+    'mtime:"2025-01-01T00:00:00Z".."2025-03-01T00:00:00Z"',  # time range
+    "readme.md",                             # direct-filename rewrite
+    "java sort:size",                        # sort directive
+    "java OR python OR spark",               # multi-OR
+    "spark AND -java",                       # AND with negation
+    "the",                                   # stopword → empty
+]
+
+
+@pytest.fixture(scope="module")
+def engine_and_oracle(spark, fixture_index):
+    index_dir, docs_pdf = fixture_index
+    return SearchEngine(spark, index_dir), OracleIndex(docs_pdf)
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_query_parity(engine_and_oracle, query):
+    engine, oracle = engine_and_oracle
+    got, got_total = engine.search_result(query, limit=10)
+    want, want_total = oracle.search(query, limit=10)
+    assert got_total == want_total, f"totalMatches mismatch for {query!r}"
+    assert [d for d, _ in got] == [d for d, _ in want], f"rank mismatch for {query!r}"
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, abs=1e-9), f"score mismatch for {query!r} doc {gd}"
+
+
+WAND_QUERIES = ["java", "java OR python", "spark OR index OR search OR engine"]
+
+
+@pytest.mark.parametrize("query", WAND_QUERIES)
+def test_wand_topk_exact(engine_and_oracle, query):
+    """Distributed block-max WAND must return exactly the exhaustive top-k."""
+    engine, oracle = engine_and_oracle
+    got = engine.search_topk(query, limit=10)
+    want, _ = oracle.search(query, limit=10)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, abs=1e-9)
