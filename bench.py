@@ -79,15 +79,15 @@ def main() -> None:
         build_sec = time.perf_counter() - t0
 
         engine = SearchEngine(spark, index_dir)
-        engine.search("warmup", 10).collect()  # JIT/scan warmup
+        engine.search_result("warmup", 10)  # JIT/scan/metadata warmup
 
         q_times = {}
         for name, q in BENCH_QUERIES.items():
             t1 = time.perf_counter()
             if name.endswith("_wand"):
-                engine.search_topk(q, 10)
+                engine.search_topk(q, 10)  # distributed block-max WAND path
             else:
-                engine.search(q, 10).collect()
+                engine.search_result(q, 10)  # auto: local serving tier
             q_times[name] = round(time.perf_counter() - t1, 4)
 
         lat = sorted(q_times.values())

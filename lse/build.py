@@ -213,10 +213,17 @@ def build_index(
         return False
 
     def commit(stage: str, df: DataFrame, partition_cols=None, sort_cols=None,
-               partitions: Optional[int] = None):
+               partitions: Optional[int] = None, how: str = "hash"):
+        """Write a stage snapshot. ``how='range'`` gives min/max-stat file
+        pruning on the partition columns (worth a sampling pass only for the
+        query-facing tables); 'hash' avoids recomputing the input twice."""
         out = df
         if partition_cols:
-            out = out.repartitionByRange(partitions or index_partitions, *partition_cols)
+            n = partitions or index_partitions
+            if how == "range":
+                out = out.repartitionByRange(n, *partition_cols)
+            else:
+                out = out.repartition(n, *partition_cols)
             if sort_cols:
                 out = out.sortWithinPartitions(*sort_cols)
         out.write.mode("overwrite").parquet(_stage_dir(index_dir, stage))
@@ -322,7 +329,7 @@ def build_index(
         df_global = enc.groupBy("term").agg(F.sum("df_shard").alias("df"))
         postings = enc.join(df_global, "term")
         commit("postings", postings, partition_cols=["term", "bucket"],
-               sort_cols=["term", "bucket"])
+               sort_cols=["term", "bucket"], how="range")
     if stop_requested("postings"):
         return None
 
@@ -330,7 +337,7 @@ def build_index(
     if with_positions and not committed("positions"):
         positions = term_doc.select("term", "bucket", "doc_id", "positions")
         commit("positions", positions, partition_cols=["term", "bucket"],
-               sort_cols=["term", "bucket", "doc_id"])
+               sort_cols=["term", "bucket", "doc_id"], how="range")
     if stop_requested("positions"):
         return None
 

@@ -99,6 +99,16 @@ class SearchEngine:
         )
         self.N = max(int(self.stats["n_docs"]), 1)
         self.avgdl = max(float(self.stats["avgdl"]), 1.0)
+        self._local = None
+
+    @property
+    def local(self):
+        """Lazy low-latency serving tier (lse.local_exec)."""
+        if self._local is None:
+            from .local_exec import LocalExecutor
+
+            self._local = LocalExecutor(self)
+        return self._local
 
     # ------------------------------------------------------------ utilities
     def _empty(self) -> DataFrame:
@@ -271,9 +281,18 @@ class SearchEngine:
             )
         return scores.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(limit)
 
-    def search_result(self, query: str, limit: int = 10) -> Tuple[List[Tuple[int, float]], int]:
-        """(top-k [(doc_id, score)], totalMatches) — SearchResult parity."""
+    def search_result(
+        self, query: str, limit: int = 10, mode: str = "auto"
+    ) -> Tuple[List[Tuple[int, float]], int]:
+        """(top-k [(doc_id, score)], totalMatches) — SearchResult parity.
+
+        mode: 'auto' serves from the local tier when the plan fits it
+        (one term-pruned scan + numpy), else the distributed plan;
+        'local' / 'spark' force a tier.
+        """
         result = querydsl.parse(query)
+        if mode != "spark" and self.local.can_execute(result.ast):
+            return self.local.execute(query, limit)
         scores = self.compile(result.ast).cache()
         try:
             total = scores.count()

@@ -1,0 +1,334 @@
+"""Low-latency local query executor.
+
+The reference serves queries from one process: dictionary lookup → posting
+decode → numpy-style scoring over int arrays (query/QueryEngine.java:211-242)
+with metadata lookups in SQLite. This module is that serving tier on top of
+the Spark-built index: ONE term-pruned parquet scan fetches the query terms'
+posting shards (Catalyst pushes ``term IN (…)`` / ``startswith`` down to the
+term-sorted files), everything after that is vectorized numpy on the driver.
+
+Scope guard: this tier is for the latency path (small top-k over a handful of
+terms). The distributed DataFrame/WAND paths in lse.engine remain the route
+for huge results, huge metadata (N beyond ``meta_limit``), or cluster-side
+fan-out — SearchEngine picks automatically.
+
+Semantics are identical to the oracle/reference (same AST evaluation rules,
+same BM25, same (score desc, doc_id asc) tie-break).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from . import querydsl
+from .bm25 import idf as idf_fn
+from .codec import decode_postings, raw_bm25_component
+from .constants import MAX_SEARCH_LIMIT
+from .querydsl import Bool, Field, Node, Not, Phrase, Prefix, Range, Term
+
+
+class _ScoreSet:
+    """A matched-doc set with scores: parallel sorted-unique numpy arrays."""
+
+    __slots__ = ("ids", "scores")
+
+    def __init__(self, ids: np.ndarray, scores: np.ndarray):
+        self.ids = ids
+        self.scores = scores
+
+    @staticmethod
+    def empty() -> "_ScoreSet":
+        return _ScoreSet(np.empty(0, dtype=np.int64), np.empty(0))
+
+    @staticmethod
+    def from_unsorted(ids: np.ndarray, scores: np.ndarray) -> "_ScoreSet":
+        uniq, inverse = np.unique(ids, return_inverse=True)
+        summed = np.zeros(len(uniq))
+        np.add.at(summed, inverse, scores)
+        return _ScoreSet(uniq, summed)
+
+    def union_sum(self, other: "_ScoreSet") -> "_ScoreSet":
+        return _ScoreSet.from_unsorted(
+            np.concatenate([self.ids, other.ids]),
+            np.concatenate([self.scores, other.scores]),
+        )
+
+    def intersect_sum(self, other: "_ScoreSet") -> "_ScoreSet":
+        common, ia, ib = np.intersect1d(
+            self.ids, other.ids, assume_unique=True, return_indices=True
+        )
+        return _ScoreSet(common, self.scores[ia] + other.scores[ib])
+
+
+class LocalExecutor:
+    def __init__(self, engine, meta_limit: int = 2_000_000):
+        self.engine = engine
+        self.meta_limit = meta_limit
+        self._postings_cache: Dict[str, Tuple[np.ndarray, np.ndarray, np.ndarray, int]] = {}
+        self._meta: Optional[pd.DataFrame] = None
+        self._all_ids: Optional[np.ndarray] = None
+        self._tc: Optional[pd.Series] = None
+
+    # ----------------------------------------------------------- data access
+    def _needs_meta(self, node: Node) -> bool:
+        if isinstance(node, (Field, Range, Not)):
+            return True
+        if isinstance(node, Bool):
+            return self._needs_meta(node.left) or self._needs_meta(node.right)
+        if isinstance(node, Not):
+            return True
+        return False
+
+    def meta(self) -> pd.DataFrame:
+        if self._meta is None:
+            cols = ["doc_id", "repo", "path", "lang", "doc_type", "size_bytes", "mtime"]
+            have = [c for c in cols if c in self.engine.doc_stats.columns]
+            self._meta = (
+                self.engine.doc_stats.select(*have).toPandas().set_index("doc_id", drop=False)
+            )
+        return self._meta
+
+    def all_doc_ids(self) -> np.ndarray:
+        if self._all_ids is None:
+            self._all_ids = np.sort(self.meta()["doc_id"].to_numpy(dtype=np.int64))
+        return self._all_ids
+
+    def fetch_terms(self, terms: List[str], prefixes: List[str]) -> None:
+        """One term-pruned scan for all postings the query needs."""
+        missing = [t for t in terms if t not in self._postings_cache]
+        conds = []
+        if missing:
+            conds.append(F.col("term").isin(missing))
+        for p in prefixes:
+            conds.append(F.col("term").startswith(p))
+        if not conds:
+            return
+        cond = conds[0]
+        for c in conds[1:]:
+            cond = cond | c
+        rows = (
+            self.engine.postings.filter(cond)
+            .select("term", "bucket", "df_shard", "df", "payload")
+            .collect()
+        )
+        by_term: Dict[str, list] = {}
+        for r in rows:
+            by_term.setdefault(r["term"], []).append(r)
+        for term, shard_rows in by_term.items():
+            shard_rows.sort(key=lambda r: r["bucket"])  # bucket order == doc order
+            ids_l, tf_l, dl_l = [], [], []
+            for r in shard_rows:
+                i, t, d = decode_postings(bytes(r["payload"]), int(r["df_shard"]))
+                ids_l.append(i)
+                tf_l.append(t)
+                dl_l.append(d)
+            self._postings_cache[term] = (
+                np.concatenate(ids_l),
+                np.concatenate(tf_l),
+                np.concatenate(dl_l),
+                int(shard_rows[0]["df"]),
+            )
+        # negative-cache plain terms that do not exist in the dictionary
+        for t in missing:
+            self._postings_cache.setdefault(
+                t, (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64),
+                    np.empty(0, dtype=np.int64), 0)
+            )
+        # prefixes: remember the expansion term lists
+        for p in prefixes:
+            self._prefix_terms[p] = sorted(
+                t for t in by_term if t.startswith(p)
+            )
+
+    _prefix_terms: Dict[str, List[str]] = None  # set in execute()
+
+    def _positions_for(self, terms: List[str]) -> Dict[str, Dict[int, np.ndarray]]:
+        if self.engine.positions is None:
+            return {}
+        rows = (
+            self.engine.positions.filter(F.col("term").isin(list(set(terms))))
+            .select("term", "doc_id", "positions")
+            .collect()
+        )
+        out: Dict[str, Dict[int, np.ndarray]] = {}
+        for r in rows:
+            out.setdefault(r["term"], {})[r["doc_id"]] = np.asarray(
+                r["positions"], dtype=np.int64
+            )
+        return out
+
+    # ------------------------------------------------------------ evaluation
+    def _score_term(self, term: str) -> _ScoreSet:
+        t = (term or "").lower()
+        if not t.strip():
+            return _ScoreSet.empty()
+        ids, tfs, dls, df = self._postings_cache.get(
+            t, (np.empty(0, dtype=np.int64), None, None, 0)
+        )
+        if df <= 0 or ids.size == 0:
+            return _ScoreSet.empty()
+        idf_v = idf_fn(df, self.engine.N)
+        raw = raw_bm25_component(tfs, dls, self.engine.avgdl)
+        return _ScoreSet(ids, idf_v * raw)
+
+    def _eval(self, node: Node, positions) -> _ScoreSet:
+        if isinstance(node, Term):
+            return self._score_term(node.term)
+        if isinstance(node, Prefix):
+            p = node.prefix.lower()
+            out = _ScoreSet.empty()
+            for t in self._prefix_terms.get(p, []):
+                out = out.union_sum(self._score_term(t))
+            return out
+        if isinstance(node, Phrase):
+            return self._eval_phrase(list(node.terms), positions)
+        if isinstance(node, Field):
+            return self._eval_field(node)
+        if isinstance(node, Range):
+            return self._eval_range(node)
+        if isinstance(node, Not):
+            child = self._eval(node.child, positions)
+            universe = self.all_doc_ids()
+            rest = np.setdiff1d(universe, child.ids, assume_unique=True)
+            return _ScoreSet(rest, np.zeros(rest.size))
+        if isinstance(node, Bool):
+            left = self._eval(node.left, positions)
+            right = self._eval(node.right, positions)
+            return (
+                left.intersect_sum(right)
+                if node.op == "AND"
+                else left.union_sum(right)
+            )
+        return _ScoreSet.empty()
+
+    def _eval_phrase(self, terms: List[str], positions) -> _ScoreSet:
+        norm = [(t or "").lower() for t in terms]
+        if not norm or any(not t.strip() for t in norm):
+            return _ScoreSet.empty()
+        scored = {t: self._score_term(t) for t in set(norm)}
+        first = scored[norm[0]]
+        if first.ids.size == 0:
+            return _ScoreSet.empty()
+        matched = []
+        for doc in first.ids:
+            doc = int(doc)
+            ok = True
+            expected = None  # iterated expected-position-set intersection
+            for t in norm:   # (QueryEngine.java:309-341)
+                plist = positions.get(t, {}).get(doc)
+                if plist is None or plist.size == 0:
+                    ok = False
+                    break
+                if expected is None:
+                    expected = set((plist + 1).tolist())
+                    continue
+                expected = {p + 1 for p in plist if p in expected}
+                if not expected:
+                    ok = False
+                    break
+            if ok:
+                matched.append(doc)
+        if not matched:
+            return _ScoreSet.empty()
+        marr = np.array(sorted(matched), dtype=np.int64)
+        total = np.zeros(marr.size)
+        for t in norm:  # per-occurrence sum, duplicates add twice
+            ss = scored[t]
+            common, im, isrc = np.intersect1d(
+                marr, ss.ids, assume_unique=True, return_indices=True
+            )
+            total[im] += ss.scores[isrc]
+        return _ScoreSet(marr, total)
+
+    def _eval_field(self, node: Field) -> _ScoreSet:
+        m = self.meta()
+        f, v = node.field, node.value
+        if f == "path":
+            mask = m["path"].str.startswith(v.replace("\\", "/"))
+        elif f in ("ext", "lang"):
+            mask = m["lang"].str.lower() == v.lower()
+        elif f == "repo":
+            mask = m["repo"] == v
+        elif f in ("filename", "name"):
+            lv = v.lower()
+            lp = m["path"].str.lower()
+            mask = (lp == lv) | lp.str.endswith("/" + lv)
+        elif f == "type":
+            tv = v.upper()
+            if tv not in {"CODE", "NOTE", "DOC", "DATA", "CONFIG", "OTHER"}:
+                return _ScoreSet.empty()
+            mask = m["doc_type"] == tv
+        else:
+            return _ScoreSet.empty()
+        ids = np.sort(m.loc[mask, "doc_id"].to_numpy(dtype=np.int64))
+        return _ScoreSet(ids, np.ones(ids.size))
+
+    def _eval_range(self, node: Range) -> _ScoreSet:
+        m = self.meta()
+        try:
+            if node.field == "size":
+                lo, hi = int(node.lo), int(node.hi)
+                mask = (m["size_bytes"] >= lo) & (m["size_bytes"] <= hi)
+            elif node.field == "mtime":
+                lo_t = datetime.fromisoformat(node.lo.replace("Z", "+00:00"))
+                hi_t = datetime.fromisoformat(node.hi.replace("Z", "+00:00"))
+                mt = pd.to_datetime(m["mtime"], utc=True)
+                mask = (mt >= lo_t.astimezone(timezone.utc)) & (
+                    mt <= hi_t.astimezone(timezone.utc)
+                )
+            else:
+                return _ScoreSet.empty()
+        except (ValueError, TypeError):
+            return _ScoreSet.empty()
+        ids = np.sort(m.loc[mask.fillna(False), "doc_id"].to_numpy(dtype=np.int64))
+        return _ScoreSet(ids, np.ones(ids.size))
+
+    # ---------------------------------------------------------------- public
+    def can_execute(self, ast: Node) -> bool:
+        if self._needs_meta(ast) and self.engine.N > self.meta_limit:
+            return False
+        return True
+
+    def execute(
+        self, query: str, limit: int = 10
+    ) -> Tuple[List[Tuple[int, float]], int]:
+        limit = max(0, min(limit, MAX_SEARCH_LIMIT))
+        result = querydsl.parse(query)
+        self._prefix_terms = {}
+        ast = result.ast
+        terms = sorted(querydsl.extract_query_terms(ast))
+        prefixes = sorted({n.prefix.lower() for n in _walk(ast) if isinstance(n, Prefix)})
+        plain = sorted(set(terms) - set(prefixes)) if prefixes else terms
+        self.fetch_terms(plain, prefixes)
+        phrase_terms = [
+            t.lower() for n in _walk(ast) if isinstance(n, Phrase) for t in n.terms
+        ]
+        positions = self._positions_for(phrase_terms) if phrase_terms else {}
+        res = self._eval(ast, positions)
+        total = int(res.ids.size)
+        if result.sort is not None and result.sort.field in ("mtime", "size"):
+            m = self.meta().loc[res.ids]
+            if result.sort.field == "size":
+                keys = m["size_bytes"].to_numpy()
+            else:
+                keys = pd.to_datetime(m["mtime"], utc=True).astype("int64").to_numpy()
+            order = np.lexsort((res.ids, -keys))[:limit]
+        else:
+            order = np.lexsort((res.ids, -res.scores))[:limit]
+        return [
+            (int(res.ids[i]), float(res.scores[i])) for i in order
+        ], total
+
+
+def _walk(node: Node):
+    yield node
+    if isinstance(node, Bool):
+        yield from _walk(node.left)
+        yield from _walk(node.right)
+    elif isinstance(node, Not):
+        yield from _walk(node.child)

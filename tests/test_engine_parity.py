@@ -36,10 +36,11 @@ def engine_and_oracle(spark, fixture_index):
     return SearchEngine(spark, index_dir), OracleIndex(docs_pdf)
 
 
+@pytest.mark.parametrize("mode", ["spark", "local"])
 @pytest.mark.parametrize("query", QUERIES)
-def test_query_parity(engine_and_oracle, query):
+def test_query_parity(engine_and_oracle, query, mode):
     engine, oracle = engine_and_oracle
-    got, got_total = engine.search_result(query, limit=10)
+    got, got_total = engine.search_result(query, limit=10, mode=mode)
     want, want_total = oracle.search(query, limit=10)
     assert got_total == want_total, f"totalMatches mismatch for {query!r}"
     assert [d for d, _ in got] == [d for d, _ in want], f"rank mismatch for {query!r}"
