@@ -226,6 +226,78 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("stop_ratio"),
         )
 
+    # ---- training-pipeline operators (lse.dedup / textops / similarity) ----
+    def q_jaccard_pairs(spark, sf):
+        from lse.dedup import ngram_jaccard_pairs
+
+        d = spark.read.parquet(os.path.join(sf, "documents.parquet")).select(
+            "doc_id", F.col("text").alias("content")
+        )
+        pairs = ngram_jaccard_pairs(d, n=3, threshold=0.05)
+        return pairs.select(
+            "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+        )
+
+    def q_lang_id(spark, sf):
+        from lse.textops import add_language_id
+
+        d = spark.read.parquet(os.path.join(sf, "documents.parquet")).select(
+            "doc_id", F.col("text").alias("content")
+        )
+        return add_language_id(d).select("doc_id", "lang_id")
+
+    def q_token_counts(spark, sf):
+        from lse.textops import add_token_counts
+
+        d = spark.read.parquet(os.path.join(sf, "documents.parquet")).select(
+            "doc_id", F.col("text").alias("content")
+        )
+        return add_token_counts(d).select(
+            "doc_id",
+            F.col("whitespace_tokens").cast("long").alias("whitespace_tokens"),
+            F.col("bpe_tokens_est").cast("long").alias("bpe_tokens_est"),
+        )
+
+    def q_minhash_pairs(spark, sf):  # rows-only: LSH internals not SQL-expressible
+        from lse.dedup import minhash_candidate_pairs, minhash_signatures
+
+        d = spark.read.parquet(os.path.join(sf, "documents.parquet")).select(
+            "doc_id", F.col("text").alias("content")
+        )
+        sigs = minhash_signatures(d, num_hashes=64)
+        return minhash_candidate_pairs(sigs, bands=16, threshold=0.2).select(
+            "doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard")
+        )
+
+    def q_simhash(spark, sf):  # rows-only: blake2b term hashing not in DuckDB
+        from lse.dedup import simhash64
+
+        d = spark.read.parquet(os.path.join(sf, "documents.parquet")).select(
+            "doc_id", F.col("text").alias("content")
+        )
+        return simhash64(d)
+
+    def q_fingerprints(spark, sf):  # rows-only: winnowing not SQL-expressible
+        from lse.textops import fingerprints
+
+        d = spark.read.parquet(os.path.join(sf, "documents.parquet")).select(
+            "doc_id", F.col("text").alias("content")
+        )
+        return fingerprints(d).select("doc_id", F.size("fingerprints").alias("n_fp"))
+
+    def q_ann_lsh(spark, sf):  # rows-only: numpy hyperplanes not in SQL
+        from lse.similarity import cosine_topk_lsh, hyperplane_signature
+
+        e = spark.read.parquet(os.path.join(sf, "embeddings.parquet"))
+        qv = [
+            float(x)
+            for x in e.filter(F.col("vec_id") == 0).first()["embedding"]
+        ]
+        sig = hyperplane_signature(e, planes=6)
+        return cosine_topk_lsh(sig, qv, k=10, planes=6).select(
+            "vec_id", F.round("cos", 4).alias("cos")
+        )
+
     return {
         "tokenize_tf": q_tokenize_tf,
         "term_df": q_term_df,
@@ -244,6 +316,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "ann_cosine_topk": q_ann_cosine_topk,
         "text_quality": q_text_quality,
+        "jaccard_pairs": q_jaccard_pairs,
+        "lang_id": q_lang_id,
+        "token_counts": q_token_counts,
+        # rows-only entries (non-SQL-expressible internals)
+        "minhash_pairs": q_minhash_pairs,
+        "simhash": q_simhash,
+        "fingerprints": q_fingerprints,
+        "ann_lsh_topk": q_ann_lsh,
     }
 
 
@@ -298,6 +378,59 @@ def oracle_sql() -> dict[str, str]:
                             * sqrt(list_dot_product(q.e, q.e))), 4) AS cos
             FROM embeddings CROSS JOIN q
             ORDER BY cos DESC, vec_id ASC LIMIT 20""",
+        "jaccard_pairs": """
+            WITH arrs AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS arr
+              FROM documents
+            ),
+            raw AS (
+              SELECT doc_id, unnest(arr) AS term,
+                     unnest(generate_series(1, len(arr))) AS idx FROM arrs
+            ),
+            tok AS (
+              SELECT doc_id, term,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY idx) - 1 AS pos
+              FROM raw WHERE length(term) > 1
+            ),
+            sh AS (
+              SELECT DISTINCT k1.doc_id,
+                     k1.term || ' ' || k2.term || ' ' || k3.term AS shingle
+              FROM tok k1
+              JOIN tok k2 ON k2.doc_id = k1.doc_id AND k2.pos = k1.pos + 1
+              JOIN tok k3 ON k3.doc_id = k1.doc_id AND k3.pos = k1.pos + 2
+            ),
+            sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   round(inter::DOUBLE / (sa.sz + sb.sz - inter), 6) AS jaccard
+            FROM inter
+            JOIN sz sa ON sa.doc_id = doc_a
+            JOIN sz sb ON sb.doc_id = doc_b
+            WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.05""",
+        "lang_id": f"""
+            SELECT doc_id, CASE
+              WHEN length(regexp_replace(substring(text, 1, 2000),
+                     '[^一-鿿㐀-䶿぀-ヿ가-힯]', '', 'g'))::DOUBLE
+                   / greatest(length(substring(text, 1, 2000)), 1) > 0.10
+                THEN 'cjk'
+              WHEN len(list_filter(
+                     regexp_extract_all(lower(substring(text, 1, 2000)), '[a-z]+'),
+                     t -> t IN {_STOP_SQL})) >= 3
+                THEN 'en'
+              ELSE 'unknown' END AS lang_id
+            FROM documents""",
+        "token_counts": """
+            SELECT doc_id,
+                   len(list_filter(regexp_split_to_array(text, '\\s+'),
+                       w -> w <> '')) AS whitespace_tokens,
+                   len(regexp_extract_all(text,
+                       '''s|''t|''re|''ve|''m|''ll|''d| ?[a-zA-Z]+| ?[0-9]+| ?[^\\sa-zA-Z0-9]+'
+                       )) AS bpe_tokens_est
+            FROM documents""",
         "text_quality": f"""
             WITH arrs AS (
               SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS arr

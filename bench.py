@@ -73,7 +73,8 @@ def main() -> None:
             spark, source, index_dir,
             precomputed_doc_id=True,
             n_buckets=8,
-            index_partitions=int(cpus),
+            index_partitions=max(8, min(int(cpus), n_files // 500)),
+            store_content=False,  # reference parity: content stays in source
             resume=False,
         )
         build_sec = time.perf_counter() - t0

@@ -111,44 +111,61 @@ def _doctype_expr():
     return expr
 
 
-def tokenize_to_term_doc(docs: DataFrame, enable_stopwords: bool = True,
-                         with_positions: bool = True) -> DataFrame:
-    """(doc_id, content) → (doc_id, term, tf, dl, positions): the tokenizer
-    UDTF with map-side per-doc aggregation (reference T1–T5 + A1 fused)."""
+TOKENS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("terms", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+def tokenize_to_arrays(docs: DataFrame, enable_stopwords: bool = True) -> DataFrame:
+    """(doc_id, content) → (doc_id, terms array<string>) — the only Python
+    step of the build. One Arrow batch in, ONE ROW PER DOC out; everything
+    row-multiplying stays JVM-side."""
 
     def run(batches: Iterable[pd.DataFrame]):
         for pdf in batches:
-            token_lists = tokenize_batch(pdf["content"], enable_stopwords)
-            out_doc, out_term, out_tf, out_dl, out_pos = [], [], [], [], []
-            for doc_id, terms in zip(pdf["doc_id"].to_numpy(), token_lists):
-                dl = len(terms)
-                if dl == 0:
-                    continue
-                agg: dict = {}
-                for pos, term in enumerate(terms):
-                    slot = agg.get(term)
-                    if slot is None:
-                        agg[term] = slot = [0, [] if with_positions else None]
-                    slot[0] += 1
-                    if with_positions:
-                        slot[1].append(pos)
-                for term, (tf, positions) in agg.items():
-                    out_doc.append(doc_id)
-                    out_term.append(term)
-                    out_tf.append(tf)
-                    out_dl.append(dl)
-                    out_pos.append(positions)
             yield pd.DataFrame(
                 {
-                    "doc_id": pd.Series(out_doc, dtype="int64"),
-                    "term": pd.Series(out_term, dtype="object"),
-                    "tf": pd.Series(out_tf, dtype="int32"),
-                    "dl": pd.Series(out_dl, dtype="int32"),
-                    "positions": pd.Series(out_pos, dtype="object"),
+                    "doc_id": pdf["doc_id"],
+                    "terms": tokenize_batch(pdf["content"], enable_stopwords),
                 }
             )
 
-    return docs.select("doc_id", "content").mapInPandas(run, TERM_DOC_SCHEMA)
+    return docs.select("doc_id", "content").mapInPandas(run, TOKENS_SCHEMA)
+
+
+def tokenize_to_term_doc(docs: DataFrame, enable_stopwords: bool = True,
+                         with_positions: bool = True) -> DataFrame:
+    """(doc_id, content) → (doc_id, term, tf, dl, positions).
+
+    The tokenizer UDF emits per-doc term arrays (Arrow, one row per doc);
+    posexplode + hash aggregation run in whole-stage codegen with native
+    map-side partial aggregation (reference T1–T5 + A1). Positions are the
+    emitted-token indices, so ``posexplode``'s index IS the position."""
+    tok = tokenize_to_arrays(docs, enable_stopwords)
+    exploded = tok.select(
+        "doc_id",
+        F.size("terms").alias("dl"),
+        F.posexplode("terms").alias("position", "term"),
+    )
+    aggs = [
+        F.count("*").cast("int").alias("tf"),
+        F.first("dl").cast("int").alias("dl"),
+    ]
+    if with_positions:
+        aggs.append(
+            F.sort_array(F.collect_list(F.col("position").cast("int"))).alias(
+                "positions"
+            )
+        )
+    out = exploded.groupBy("doc_id", "term").agg(*aggs)
+    if not with_positions:
+        out = out.withColumn(
+            "positions", F.lit(None).cast(T.ArrayType(T.IntegerType()))
+        )
+    return out.select("doc_id", "term", "tf", "dl", "positions")
 
 
 def _encode_groups(avgdl: float):
@@ -191,6 +208,7 @@ def build_index(
     with_positions: bool = True,
     n_buckets: int = 8,
     index_partitions: int = 16,
+    store_content: bool = True,
     build_id: Optional[str] = None,
     resume: bool = True,
     stop_after_stage: Optional[str] = None,
@@ -233,49 +251,62 @@ def build_index(
         return stop_after_stage == stage
 
     # ---------------------------------------------------------- stage: docs
+    # a single-file / post-crossJoin source arrives with few partitions;
+    # everything downstream of the scan would then run serially
+    if source.rdd.getNumPartitions() < index_partitions // 2:
+        source = source.repartition(index_partitions)
+    if precomputed_doc_id or "doc_id" in source.columns:
+        docs_src = source
+    else:
+        docs_src = assign_doc_ids(source, mode=doc_id_mode)
+    docs_src = docs_src.withColumn("content_sha256", F.sha2(F.col("content"), 256))
+    docs_src = docs_src.withColumn(
+        "size_bytes", F.octet_length("content").cast("long")
+    )
+    if "lang" not in docs_src.columns:
+        docs_src = docs_src.withColumn("lang", F.lit(""))
+    docs_src = docs_src.withColumn("doc_type", _doctype_expr())
+    for col in ("repo", "path", "commit"):
+        if col not in docs_src.columns:
+            docs_src = docs_src.withColumn(col, F.lit(""))
+    if "mtime" not in docs_src.columns:
+        docs_src = docs_src.withColumn("mtime", F.lit(None).cast("timestamp"))
     if not committed("docs"):
-        if precomputed_doc_id or "doc_id" in source.columns:
-            docs = source
-        else:
-            docs = assign_doc_ids(source, mode=doc_id_mode)
-        docs = docs.withColumn("content_sha256", F.sha2(F.col("content"), 256))
-        docs = docs.withColumn("size_bytes", F.octet_length("content").cast("long"))
-        if "lang" not in docs.columns:
-            docs = docs.withColumn("lang", F.lit(""))
-        docs = docs.withColumn("doc_type", _doctype_expr())
-        for col in ("repo", "path", "commit"):
-            if col not in docs.columns:
-                docs = docs.withColumn(col, F.lit(""))
-        if "mtime" not in docs.columns:
-            docs = docs.withColumn("mtime", F.lit(None).cast("timestamp"))
-        commit(
-            "docs",
-            docs.select(
-                "doc_id", "repo", "path", "commit", "lang", "doc_type",
-                "size_bytes", "mtime", "content", "content_sha256",
-            ),
-            partition_cols=["doc_id"],
-            sort_cols=["doc_id"],
-        )
+        cols = [
+            "doc_id", "repo", "path", "commit", "lang", "doc_type",
+            "size_bytes", "mtime", "content_sha256",
+        ]
+        # like the reference (content lives with the source, only metadata in
+        # the doc table, document/DocumentTable.java:17-32), content is only
+        # materialized into the index when snippet serving wants it local
+        if store_content:
+            cols.append("content")
+        commit("docs", docs_src.select(*cols),
+               partition_cols=["doc_id"], sort_cols=["doc_id"])
     if stop_requested("docs"):
         return None
     docs = spark.read.parquet(_stage_dir(index_dir, "docs"))
+    # the tokenizer needs content: from the snapshot when stored, else from
+    # the (deterministically re-derivable) source frame
+    docs_for_tokens = docs if store_content else docs_src
 
     doc_space = HASH_DOC_SPACE
     if doc_id_mode == "dense" or precomputed_doc_id or "doc_id" in source.columns:
         doc_space = int(docs.agg(F.max("doc_id")).first()[0]) + 1
 
-    # ------------------------------------------------------ stage: term_doc
-    if not committed("term_doc"):
-        term_doc = tokenize_to_term_doc(docs, enable_stopwords, with_positions)
-        term_doc = term_doc.withColumn(
-            "bucket", _bucket_col(F.col("doc_id"), n_buckets, doc_space)
-        )
-        commit("term_doc", term_doc, partition_cols=["term", "bucket"],
-               sort_cols=["term", "bucket", "doc_id"])
-    if stop_requested("term_doc"):
-        return None
-    term_doc = spark.read.parquet(_stage_dir(index_dir, "term_doc"))
+    # --------------------------------------------------- pipeline: term_doc
+    # The (doc, term) frame is the LARGEST intermediate — bigger than the
+    # final index — so it is disk-backed CACHED, not snapshotted: a resumed
+    # build recomputes it from the docs snapshot (cheap relative to writing
+    # and re-reading it three times). All query-facing stages below remain
+    # durable snapshots.
+    term_doc = tokenize_to_term_doc(docs_for_tokens, enable_stopwords, with_positions)
+    term_doc = term_doc.withColumn(
+        "bucket", _bucket_col(F.col("doc_id"), n_buckets, doc_space)
+    )
+    from pyspark import StorageLevel
+
+    term_doc = term_doc.persist(StorageLevel.MEMORY_AND_DISK)
 
     # --------------------------------------------------------- stage: stats
     if not committed("stats"):
@@ -370,6 +401,7 @@ def build_index(
         )
         ran.append("manifest")
 
+    term_doc.unpersist()
     meta = dict(
         build_id=build_id,
         built_at_unix=int(t0),

@@ -1,0 +1,361 @@
+"""Deduplication operators for large-scale corpus curation.
+
+All operators are DataFrame-native (exact/ngram paths) or Arrow-vectorized
+numpy (minhash/simhash) — no per-row Python UDFs. Designed so every shuffle
+key is a content-derived hash (uniform, no skew) and candidate generation
+never materializes the O(n²) pair space:
+
+* exact_dups / dedup_exact      — sha256 groupBy (one shuffle)
+* ngram_jaccard_pairs           — shingle-inverted-index self-join: pairs are
+                                  generated ONLY for docs sharing a shingle,
+                                  with a document-frequency cap on shingles
+                                  (stop-shingle removal) to bound the join
+* minhash_signatures / minhash_candidate_pairs — MinHash + LSH banding:
+                                  (band, band_hash) buckets join, candidates
+                                  verified by signature-estimated Jaccard
+* simhash64                     — 64-bit SimHash from term frequencies
+* embedding_near_dups           — cosine near-duplicates via random
+                                  hyperplane LSH buckets + exact verify
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Iterable, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_MERSENNE = (1 << 61) - 1
+
+
+# ------------------------------------------------------------------ exact
+def exact_dups(df: DataFrame, col: str = "content") -> DataFrame:
+    """(content_sha, n, doc_ids) for every exactly-duplicated text."""
+    return (
+        df.groupBy(F.sha2(F.col(col), 256).alias("content_sha"))
+        .agg(F.count("*").alias("n"), F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
+        .filter(F.col("n") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, col: str = "content") -> DataFrame:
+    """Keep one row (lowest doc_id) per distinct text."""
+    w = df.withColumn("__sha", F.sha2(F.col(col), 256)).withColumn(
+        "__rn",
+        F.row_number().over(
+            Window.partitionBy("__sha").orderBy(F.col("doc_id").asc())
+        ),
+    )
+    return w.filter(F.col("__rn") == 1).drop("__sha", "__rn")
+
+
+# ---------------------------------------------------------------- n-grams
+def token_ngrams(df: DataFrame, col: str = "content", n: int = 3) -> DataFrame:
+    """(doc_id, shingle) — distinct token n-gram shingles per doc, built with
+    JVM-side split/transform (no Python)."""
+    toks = F.split(F.lower(F.col(col)), r"[^a-z0-9]+")
+    toks = F.filter(toks, lambda t: F.length(t) > 1)
+    # sequence(0, k) DESCENDS when k < 0, so guard short docs explicitly
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return (
+        df.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
+        .filter(F.col("shingle") != "")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    col: str = "content",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int = 1000,
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for pairs with token-n-gram Jaccard >= t.
+
+    Inverted-index join: only docs sharing a (non-stop) shingle pair up.
+    ``max_shingle_df`` drops shingles shared by too many docs — they add
+    O(df²) candidate pairs while implying near-zero Jaccard information.
+    """
+    sh = token_ngrams(df, col, n).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    rare = (
+        sh.groupBy("shingle").agg(F.count("*").alias("sdf"))
+        .filter(F.col("sdf") <= max_shingle_df)
+        .select("shingle")
+    )
+    shr = sh.join(rare, "shingle")
+    pairs = (
+        shr.alias("a")
+        .join(shr.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        pairs.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return out
+
+
+# ---------------------------------------------------------------- minhash
+def _char_shingle_hashes(text: str, k: int) -> np.ndarray:
+    if not text or len(text) < k:
+        data = (text or "").encode()
+        return np.array([zlib.crc32(data)], dtype=np.uint64)
+    return np.unique(
+        np.fromiter(
+            (zlib.crc32(text[i : i + k].encode()) for i in range(len(text) - k + 1)),
+            dtype=np.uint64,
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    col: str = "content",
+    num_hashes: int = 64,
+    shingle_k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """(doc_id, sig: array<long>) MinHash signatures, vectorized numpy inside
+    one Arrow batch per partition (shingle → crc32 → a·x+b mod p → min)."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_hashes, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE, size=num_hashes, dtype=np.uint64)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("sig", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def run(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            out_id, out_sig = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf[col]):
+                x = _char_shingle_hashes(text, shingle_k)
+                # (num_hashes, n_shingles) permutation mins, uint64 mod-prime
+                hv = (a[:, None] * x[None, :] + b[:, None]) % _MERSENNE
+                sig = hv.min(axis=1).astype(np.int64)
+                out_id.append(doc_id)
+                out_sig.append(sig.tolist())
+            yield pd.DataFrame({"doc_id": out_id, "sig": out_sig})
+
+    return df.select("doc_id", col).mapInPandas(run, schema)
+
+
+def minhash_candidate_pairs(
+    sigs: DataFrame, bands: int = 16, threshold: float = 0.7
+) -> DataFrame:
+    """LSH banding: (doc_a, doc_b, est_jaccard) for candidates whose whole
+    band matches in >=1 band, verified by signature agreement fraction."""
+    num_hashes = len(sigs.select("sig").first()["sig"])
+    rows_per_band = num_hashes // bands
+    banded = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.struct(
+                    i.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("sig"), i * rows_per_band + 1, rows_per_band),
+                                lambda v: v.cast("string"),
+                            ),
+                        )
+                    ).alias("bh"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    cands = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "bh"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.lit(float(num_hashes))
+    return (
+        cands.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+# ----------------------------------------------------------------- simhash
+def simhash64(df: DataFrame, col: str = "content") -> DataFrame:
+    """(doc_id, simhash long): sign of tf-weighted sums of 64 term-hash bits.
+
+    Term hashing is blake2b-based (process-stable); the bit accumulation is
+    numpy over one Arrow batch."""
+    import hashlib
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("simhash", T.LongType()),
+        ]
+    )
+
+    from .tokenizer import tokenize_batch
+
+    def term_bits(term: str) -> np.ndarray:
+        h = int.from_bytes(hashlib.blake2b(term.encode(), digest_size=8).digest(), "big")
+        return np.array([(h >> i) & 1 for i in range(64)], dtype=np.int64) * 2 - 1
+
+    def run(batches: Iterable[pd.DataFrame]):
+        cache: dict = {}
+        for pdf in batches:
+            token_lists = tokenize_batch(pdf[col])
+            out_id, out_h = [], []
+            for doc_id, terms in zip(pdf["doc_id"], token_lists):
+                acc = np.zeros(64, dtype=np.int64)
+                for t in terms:
+                    bits = cache.get(t)
+                    if bits is None:
+                        cache[t] = bits = term_bits(t)
+                    acc += bits
+                h = 0
+                for i in range(64):
+                    if acc[i] > 0:
+                        h |= 1 << i
+                # to signed int64
+                out_id.append(doc_id)
+                out_h.append(h - (1 << 64) if h >= (1 << 63) else h)
+            yield pd.DataFrame({"doc_id": out_id, "simhash": out_h})
+
+    return df.select("doc_id", col).mapInPandas(run, schema)
+
+
+def simhash_near_dups(df: DataFrame, col: str = "content", max_hamming: int = 3) -> DataFrame:
+    """(doc_a, doc_b, hamming) pairs within a Hamming radius, candidates
+    bucketed by 16-bit simhash chunks (any pair within radius 3 must agree
+    on at least one of 4 chunks — pigeonhole)."""
+    sh = simhash64(df, col)
+    chunks = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftrightunsigned(F.col("simhash"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("ck"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "simhash", F.col("c.chunk").alias("chunk"), F.col("c.ck").alias("ck"))
+    cands = (
+        chunks.alias("a")
+        .join(chunks.alias("b"), ["chunk", "ck"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cands.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# --------------------------------------------------------------- embeddings
+def embedding_near_dups(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    planes: int = 12,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cosine near-duplicate pairs via random-hyperplane LSH buckets + exact
+    cosine verification inside each bucket."""
+    dim = len(emb.select(vec_col).first()[vec_col])
+    rng = np.random.default_rng(seed)
+    hyper = rng.standard_normal((planes, dim))
+    v = F.col(vec_col).cast("array<double>")
+    norm = F.sqrt(F.aggregate(F.zip_with(v, v, lambda a, b: a * b), F.lit(0.0), lambda s, x: s + x))
+    normed = emb.select(
+        F.col(id_col).alias("vid"),
+        F.transform(v, lambda x: x / norm).alias("nv"),
+    )
+    sig = F.concat_ws(
+        "",
+        *[
+            F.when(
+                F.aggregate(
+                    F.zip_with(
+                        "nv",
+                        F.array(*[F.lit(float(x)) for x in hyper[p]]),
+                        lambda a, b: a * b,
+                    ),
+                    F.lit(0.0),
+                    lambda s, x: s + x,
+                )
+                >= 0,
+                "1",
+            ).otherwise("0")
+            for p in range(planes)
+        ],
+    )
+    bucketed = normed.withColumn("bucket", sig)
+    pairs = (
+        bucketed.alias("a")
+        .join(bucketed.alias("b"), "bucket")
+        .filter(F.col("a.vid") < F.col("b.vid"))
+    )
+    cos = F.aggregate(
+        F.zip_with(F.col("a.nv"), F.col("b.nv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    return (
+        pairs.select(
+            F.col("a.vid").alias("id_a"),
+            F.col("b.vid").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
+    )

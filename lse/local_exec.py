@@ -292,6 +292,12 @@ class LocalExecutor:
     def can_execute(self, ast: Node) -> bool:
         if self._needs_meta(ast) and self.engine.N > self.meta_limit:
             return False
+        # phrase evaluation collects per-doc position lists — at high N that
+        # volume belongs on executors (the Spark positions-join path)
+        if self.engine.N > self.meta_limit and any(
+            isinstance(n, Phrase) for n in _walk(ast)
+        ):
+            return False
         return True
 
     def execute(

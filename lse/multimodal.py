@@ -1,0 +1,159 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary`` columns
+with typed metadata, processed through Arrow-batched ``mapInPandas``.
+
+The decode kernels themselves are STUBBED in this container (no
+PIL/ffmpeg/torchaudio available): ``backend='real'`` raises
+NotImplementedError at the decode step, while ``backend='fake'`` runs a
+deterministic stand-in (a seeded hash of the payload bytes drives the
+"decoded" values) so the Spark-side contract — schemas, batch shapes,
+partition behavior, UDF signatures — is real and fully tested. Swapping in a
+real decoder is a one-function change per modality.
+
+Schemas:
+  image: (id long, payload binary, meta struct<width:int, height:int,
+         format:string>)
+  audio: (id long, payload binary, meta struct<sample_rate:int,
+         channels:int, duration_ms:long>)
+  video: (id long, payload binary, meta struct<width:int, height:int,
+         fps:double, n_frames:int>)
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterable, List
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("format", T.StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+_FEATURE_DIM = 16
+
+
+def _payload_rng(payload: bytes) -> np.random.Generator:
+    seed = int.from_bytes(hashlib.blake2b(payload or b"", digest_size=8).digest(), "big")
+    return np.random.default_rng(seed)
+
+
+def _decode_image(payload: bytes, backend: str) -> np.ndarray:
+    """Decode to an HxWx3 uint8 array. 'real' needs an image library that is
+    not in this container."""
+    if backend == "real":
+        raise NotImplementedError(
+            "image decode requires PIL/cv2 which are not available here; "
+            "use backend='fake' for pipeline testing"
+        )
+    rng = _payload_rng(payload)
+    h, w = int(rng.integers(8, 32)), int(rng.integers(8, 32))
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def image_features(
+    df: DataFrame, backend: str = "fake", batch_col: str = "payload"
+) -> DataFrame:
+    """(id, feature array<double>[16], width, height) — decode + pooled
+    feature extraction per Arrow batch."""
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("feature", T.ArrayType(T.DoubleType())),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ]
+    )
+
+    def run(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            ids, feats, ws, hs = [], [], [], []
+            for i, payload in zip(pdf["id"], pdf[batch_col]):
+                img = _decode_image(bytes(payload), backend)
+                h, w, _ = img.shape
+                # channel-wise pooled stats → fixed 16-dim feature
+                flat = img.reshape(-1, 3).astype(np.float64)
+                feat = np.concatenate(
+                    [
+                        flat.mean(axis=0),
+                        flat.std(axis=0),
+                        np.percentile(flat, [25, 50, 75], axis=0).ravel(),
+                        [float(h)],
+                    ]
+                )[:_FEATURE_DIM]
+                feat = np.pad(feat, (0, max(0, _FEATURE_DIM - feat.size)))
+                ids.append(i)
+                feats.append(feat.tolist())
+                ws.append(w)
+                hs.append(h)
+            yield pd.DataFrame(
+                {"id": ids, "feature": feats, "width": ws, "height": hs}
+            )
+
+    return df.select("id", batch_col).mapInPandas(run, schema)
+
+
+def image_resize_meta(df: DataFrame, max_side: int = 16, backend: str = "fake") -> DataFrame:
+    """(id, new_width, new_height): the resize plan (aspect-preserving) —
+    decode + resize stub returning target geometry."""
+    schema = "id long, new_width int, new_height int"
+
+    def run(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            ids, nw, nh = [], [], []
+            for i, payload in zip(pdf["id"], pdf["payload"]):
+                img = _decode_image(bytes(payload), backend)
+                h, w, _ = img.shape
+                scale = min(1.0, max_side / max(h, w))
+                ids.append(i)
+                nw.append(max(1, int(w * scale)))
+                nh.append(max(1, int(h * scale)))
+            yield pd.DataFrame({"id": ids, "new_width": nw, "new_height": nh})
+
+    return df.select("id", "payload").mapInPandas(run, schema)
+
+
+def video_frame_sample(
+    df: DataFrame, every_n: int = 10, backend: str = "fake"
+) -> DataFrame:
+    """(id, frame_idx) — frame sampling plan from (stub-)probed frame counts."""
+    schema = "id long, frame_idx int"
+
+    def run(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            ids, fidx = [], []
+            for i, payload in zip(pdf["id"], pdf["payload"]):
+                if backend == "real":
+                    raise NotImplementedError("video probe requires ffmpeg")
+                n_frames = int(_payload_rng(bytes(payload)).integers(1, 300))
+                for f in range(0, n_frames, every_n):
+                    ids.append(i)
+                    fidx.append(f)
+            yield pd.DataFrame({"id": ids, "frame_idx": pd.Series(fidx, dtype="int32")})
+
+    return df.select("id", "payload").mapInPandas(run, schema)
+
+
+def make_fake_image_table(spark, n: int = 20, seed: int = 42) -> DataFrame:
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        payload = bytes(rng.integers(0, 256, size=int(rng.integers(64, 256)), dtype=np.uint8))
+        rows.append((i, payload, (int(rng.integers(8, 32)), int(rng.integers(8, 32)), "png")))
+    return spark.createDataFrame(rows, IMAGE_SCHEMA)

@@ -22,6 +22,10 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # default 64m advisory folds medium shuffles into a handful of tasks,
+        # capping reduce-stage parallelism well below the core count
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("LSE_DRIVER_MEM", "8g"))

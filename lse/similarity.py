@@ -1,0 +1,97 @@
+"""Similarity search over an embedding column (array<float>).
+
+* cosine_topk      — exact brute-force top-k, fully JVM-side
+  (zip_with/aggregate inside whole-stage codegen; one scan, one top-k sort).
+  The scale baseline: O(N·d) flops distributed over all partitions.
+* cosine_topk_lsh  — random-hyperplane LSH bucketed variant: the query's
+  bucket (plus optional multi-probe neighbors at Hamming distance 1) is the
+  only data scanned. The scale path — bucket assignment is computed at
+  ingest (signature column, partition/cluster by it) so a query touches
+  ~N/2^planes rows.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+
+def _vec_lit(v: Sequence[float]):
+    return F.array(*[F.lit(float(x)) for x in v])
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine similarity: (vec_id, cos) ordered desc, ties by
+    id asc."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.linalg.norm(q))
+    v = F.col(vec_col).cast("array<double>")
+    cos = _dot(v, _vec_lit(q)) / (F.sqrt(_dot(v, v)) * F.lit(qn))
+    return (
+        emb.select(F.col(id_col).alias("vec_id"), cos.alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
+def hyperplane_signature(
+    emb: DataFrame,
+    planes: int = 8,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    out: str = "lsh_sig",
+) -> DataFrame:
+    """Append the random-hyperplane sign signature (int) — computed at
+    ingest time so queries prune on it."""
+    dim = len(emb.select(vec_col).first()[vec_col])
+    rng = np.random.default_rng(seed)
+    hyper = rng.standard_normal((planes, dim))
+    v = F.col(vec_col).cast("array<double>")
+    sig = F.lit(0)
+    for p in range(planes):
+        bit = F.when(_dot(v, _vec_lit(hyper[p])) >= 0, 1).otherwise(0)
+        sig = sig + bit * F.lit(1 << p)
+    return emb.withColumn(out, sig)
+
+
+def cosine_topk_lsh(
+    emb_with_sig: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    planes: int = 8,
+    seed: int = 7,
+    multiprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sig_col: str = "lsh_sig",
+) -> DataFrame:
+    """Approximate top-k: scan only the query's LSH bucket plus all buckets
+    within Hamming distance ``multiprobe`` of it."""
+    dim = len(np.asarray(query_vec))
+    rng = np.random.default_rng(seed)
+    hyper = rng.standard_normal((planes, dim))
+    q = np.asarray(query_vec, dtype=np.float64)
+    qsig = 0
+    for p in range(planes):
+        if float(hyper[p] @ q) >= 0:
+            qsig |= 1 << p
+    probe = {qsig}
+    frontier = {qsig}
+    for _ in range(multiprobe):
+        frontier = {s ^ (1 << p) for s in frontier for p in range(planes)}
+        probe |= frontier
+    pruned = emb_with_sig.filter(F.col(sig_col).isin(sorted(probe)))
+    return cosine_topk(pruned, query_vec, k, id_col=id_col, vec_col=vec_col)

@@ -1,0 +1,116 @@
+"""Text-analysis operators for corpus curation — all JVM-side column
+expressions (whole-stage codegen) except the rolling-hash fingerprint, which
+is Arrow-batched numpy.
+
+* add_language_id   — n-gram/character heuristic language tag
+* add_quality       — length / punctuation / stopword-ratio quality score
+* add_token_counts  — whitespace tokens + a BPE-ish regex token estimate
+* fingerprints      — winnowing-style rolling-hash document fingerprints
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .constants import STOPWORDS
+
+_CJK_CLASS = r"[一-鿿㐀-䶿぀-ヿ가-힯]"
+# BPE-ish pattern (GPT-2 style): contractions, letter runs, digit runs,
+# punctuation runs, whitespace-prefixed words
+_BPE_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+"
+
+
+def add_language_id(df: DataFrame, col: str = "content", out: str = "lang_id") -> DataFrame:
+    """Deterministic heuristic: CJK char ratio → 'cjk'; else stopword-hit
+    count over the first 2000 chars → 'en' / 'unknown'."""
+    head = F.substring(F.col(col), 1, 2000)
+    n_chars = F.greatest(F.length(head), F.lit(1))
+    cjk = F.length(F.regexp_replace(head, f"[^{_CJK_CLASS[1:-1]}]", ""))
+    words = F.filter(
+        F.split(F.lower(head), r"[^a-z]+"), lambda w: w.isin(*sorted(STOPWORDS))
+    )
+    return df.withColumn(
+        out,
+        F.when(cjk / n_chars > 0.10, F.lit("cjk"))
+        .when(F.size(words) >= 3, F.lit("en"))
+        .otherwise(F.lit("unknown")),
+    )
+
+
+def add_quality(df: DataFrame, col: str = "content", out: str = "quality") -> DataFrame:
+    """Quality score in [0,1]: favors moderate length, low punctuation
+    density, a natural stopword ratio, and word-like mean token length."""
+    text = F.col(col)
+    n = F.greatest(F.length(text), F.lit(1)).cast("double")
+    words = F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != "")
+    n_words = F.greatest(F.size(words), F.lit(1)).cast("double")
+    punct = F.length(F.regexp_replace(text, r"[\w\s]", "")).cast("double")
+    stops = F.size(F.filter(words, lambda w: w.isin(*sorted(STOPWORDS)))).cast("double")
+    mean_wl = n / n_words
+    len_score = F.least(n / 200.0, F.lit(1.0)) * F.least(F.lit(1.0), 50000.0 / n)
+    punct_score = F.greatest(F.lit(0.0), 1.0 - 4.0 * (punct / n))
+    stop_ratio = stops / n_words
+    stop_score = F.when((stop_ratio > 0.05) & (stop_ratio < 0.6), 1.0).otherwise(0.5)
+    wl_score = F.when((mean_wl > 3.0) & (mean_wl < 12.0), 1.0).otherwise(0.6)
+    return df.withColumn(
+        out, F.round(len_score * punct_score * stop_score * wl_score, 6)
+    )
+
+
+def add_token_counts(df: DataFrame, col: str = "content") -> DataFrame:
+    """whitespace_tokens + bpe_tokens_est columns (both codegen regex)."""
+    ws = F.size(F.filter(F.split(F.col(col), r"\s+"), lambda w: w != ""))
+    bpe = F.size(F.regexp_extract_all(F.col(col), F.lit(_BPE_RE), 0))
+    return df.withColumn("whitespace_tokens", ws).withColumn(
+        "bpe_tokens_est", bpe
+    )
+
+
+def fingerprints(
+    df: DataFrame,
+    col: str = "content",
+    k: int = 8,
+    window: int = 16,
+) -> DataFrame:
+    """Winnowing fingerprints: rolling crc32 over k-char grams, minimum per
+    sliding window, distinct mins kept → (doc_id, fingerprints array<long>).
+    Standard winnowing (Schleimer et al., SIGMOD'03) vectorized in numpy."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("fingerprints", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def run(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            out_id, out_fp = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf[col]):
+                text = (text or "").lower()
+                if len(text) < k:
+                    hs = np.array([zlib.crc32(text.encode())], dtype=np.int64)
+                else:
+                    hs = np.fromiter(
+                        (
+                            zlib.crc32(text[i : i + k].encode())
+                            for i in range(len(text) - k + 1)
+                        ),
+                        dtype=np.int64,
+                    )
+                if hs.size <= window:
+                    mins = np.array([hs.min()])
+                else:
+                    sw = np.lib.stride_tricks.sliding_window_view(hs, window)
+                    mins = sw.min(axis=1)
+                out_id.append(doc_id)
+                out_fp.append(np.unique(mins).tolist())
+            yield pd.DataFrame({"doc_id": out_id, "fingerprints": out_fp})
+
+    return df.select("doc_id", col).mapInPandas(run, schema)

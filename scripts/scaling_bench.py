@@ -1,0 +1,148 @@
+#!/usr/bin/env python
+"""Two-cluster-size scaling evidence (north rule, sandbox adaptation).
+
+No real cluster exists here, so the N vs 4N executor criterion is evidenced
+by running the IDENTICAL build+query job at two parallelism levels —
+local[8] and local[32] — on the same input, and reporting throughput at both
+plus scaling efficiency. The input is the sf0.1 documents table replicated
+REPLICATION× (doc ids offset per copy) so that tokenize/shuffle compute
+dominates Spark's fixed job overhead, as it would at real scale.
+
+Also asserts the determinism contract: both parallelism levels must produce
+identical query results (same top-k ids and scores ±1e-9).
+
+Writes BENCH_SCALING.json and prints a summary table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import shutil
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPLICATION = int(os.environ.get("LSE_SCALE_REPLICATION", "64"))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+# identical physical plan at both parallelism levels: only the core count
+# differs, the partitioning of every stage is pinned
+PARTITIONS = int(os.environ.get("LSE_SCALE_PARTITIONS", "64"))
+QUERIES = [
+    "spark", "spark AND query", "filter AND (join OR merge)", "-spark",
+    '"table scan"', "jo*", "spark OR query OR join OR merge",
+]
+
+
+def run_at(cores: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from lse.build import build_index
+    from lse.engine import SearchEngine
+    from lse.session import get_spark
+
+    spark = get_spark(
+        f"lse-scale-{cores}", master=f"local[{cores}]", shuffle_partitions=PARTITIONS
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        base_n = docs.count()
+        # replicate AFTER repartitioning so row generation is parallel —
+        # a crossJoin against a 1-partition parquet scan would materialize
+        # the whole replicated corpus through a single task
+        big = docs.repartition(PARTITIONS).select(
+            "*", F.explode(F.sequence(F.lit(0), F.lit(REPLICATION - 1))).alias("copy")
+        ).select(
+            (F.col("doc_id") + F.col("copy") * base_n).alias("doc_id"),
+            F.col("text").alias("content"),
+            "lang",
+            F.concat(F.col("source"), F.lit("_c"), F.col("copy")).alias("repo"),
+            F.concat(
+                F.col("source"), F.lit("/d"), F.col("doc_id").cast("string"),
+                F.lit("_"), F.col("copy").cast("string"),
+            ).alias("path"),
+            F.lit("").alias("commit"),
+        )
+        n_files = base_n * REPLICATION
+        index_dir = tempfile.mkdtemp(prefix=f"lse_scale_{cores}_")
+        t0 = time.perf_counter()
+        build_index(
+            spark, big, index_dir,
+            precomputed_doc_id=True, n_buckets=32,
+            index_partitions=PARTITIONS, store_content=False, resume=False,
+        )
+        build_sec = time.perf_counter() - t0
+
+        engine = SearchEngine(spark, index_dir)
+        engine.search_result("warmup", 10)
+        q_lat = {}
+        results = {}
+        for q in QUERIES:
+            t1 = time.perf_counter()
+            hits, total = engine.search_result(q, 10)
+            q_lat[q] = round(time.perf_counter() - t1, 4)
+            results[q] = (hits, total)
+        shutil.rmtree(index_dir, ignore_errors=True)
+        return dict(
+            cores=cores,
+            n_files=n_files,
+            build_sec=round(build_sec, 2),
+            files_per_sec=round(n_files / build_sec, 2),
+            query_lat=q_lat,
+            results=results,
+        )
+    finally:
+        spark.stop()
+
+
+def main() -> None:
+    import pickle
+
+    if len(sys.argv) > 1 and sys.argv[1] in ("8", "32"):
+        cores = int(sys.argv[1])
+        res = run_at(cores)
+        with open(f"/tmp/lse_scale_{cores}.pkl", "wb") as fh:
+            pickle.dump(res, fh)
+        print(f"cores={cores} build_sec={res['build_sec']} files/s={res['files_per_sec']}")
+        return
+
+    if os.path.exists("/tmp/lse_scale_8.pkl") and os.path.exists("/tmp/lse_scale_32.pkl"):
+        low = pickle.load(open("/tmp/lse_scale_8.pkl", "rb"))
+        high = pickle.load(open("/tmp/lse_scale_32.pkl", "rb"))
+    else:
+        low = run_at(8)
+        high = run_at(32)
+
+    # determinism across parallelism levels
+    mismatches = []
+    for q in QUERIES:
+        h_lo, t_lo = low["results"][q]
+        h_hi, t_hi = high["results"][q]
+        ids_ok = [d for d, _ in h_lo] == [d for d, _ in h_hi]
+        sc_ok = all(abs(a - b) <= 1e-9 for (_, a), (_, b) in zip(h_lo, h_hi))
+        if not (ids_ok and sc_ok and t_lo == t_hi):
+            mismatches.append(q)
+
+    efficiency = (low["build_sec"] / high["build_sec"]) / (32 / 8)
+    out = dict(
+        input=f"{SF_DIR} x{REPLICATION}",
+        n_files=low["n_files"],
+        low=dict(cores=8, build_sec=low["build_sec"], files_per_sec=low["files_per_sec"]),
+        high=dict(cores=32, build_sec=high["build_sec"], files_per_sec=high["files_per_sec"]),
+        scaling_efficiency=round(efficiency, 3),
+        speedup=round(low["build_sec"] / high["build_sec"], 2),
+        results_identical=not mismatches,
+        mismatched_queries=mismatches,
+        query_lat_low=low["query_lat"],
+        query_lat_high=high["query_lat"],
+    )
+    with open("BENCH_SCALING.json", "w") as fh:
+        json.dump(out, fh, indent=2)
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -14,7 +14,7 @@ from lse.oracle import OracleIndex
 
 def test_stage_artifacts_exist(spark, fixture_index):
     index_dir, _ = fixture_index
-    for stage in ("docs", "term_doc", "stats", "doc_stats", "postings", "positions", "manifest"):
+    for stage in ("docs", "stats", "doc_stats", "postings", "positions", "manifest"):
         assert os.path.exists(os.path.join(index_dir, stage, "_SUCCESS")), stage
 
 

@@ -32,7 +32,7 @@ def index_signature(spark, index_dir):
     return (sig_post, stats["n_docs"], stats["avgdl"])
 
 
-STAGES = ["docs", "term_doc", "stats", "doc_stats", "postings"]
+STAGES = ["docs", "stats", "doc_stats", "postings"]
 
 
 @pytest.mark.parametrize("crash_after", ["docs", "stats", "postings"])
@@ -72,6 +72,6 @@ def test_full_rebuild_is_noop_when_complete(spark, tmp_path):
     d = str(tmp_path / "idx")
     first = build_index(spark, source, d, n_buckets=2, index_partitions=2)
     again = build_index(spark, source, d, n_buckets=2, index_partitions=2)
-    assert set(again.stages_skipped) >= {"docs", "term_doc", "stats", "doc_stats", "postings", "manifest"}
+    assert set(again.stages_skipped) >= {"docs", "stats", "doc_stats", "postings", "manifest"}
     assert again.stages_run == []
     assert first.n_docs == again.n_docs
