@@ -97,8 +97,36 @@ class SearchEngine:
             if self.stats.get("with_positions") and os.path.exists(pos_dir)
             else None
         )
-        self.N = max(int(self.stats["n_docs"]), 1)
-        self.avgdl = max(float(self.stats["avgdl"]), 1.0)
+        # tombstones: deleted docs are excluded live, and N/avgdl shrink to
+        # the live corpus — matching the reference's live-doc filtering
+        # (QueryEngine.java:435-443) where deletes update the DocumentTable
+        tomb_dir = os.path.join(index_dir, "tombstones")
+        if os.path.exists(tomb_dir):
+            tombs = spark.read.parquet(tomb_dir).select("doc_id").distinct()
+            self.tomb_ids = np.sort(
+                np.array([r["doc_id"] for r in tombs.collect()], dtype=np.int64)
+            )
+        else:
+            self.tomb_ids = np.empty(0, dtype=np.int64)
+        n_docs = int(self.stats["n_docs"])
+        total_tokens = int(self.stats.get("total_tokens") or 0)
+        if self.tomb_ids.size:
+            dead = self.doc_stats.filter(
+                F.col("doc_id").isin([int(x) for x in self.tomb_ids])
+            ).agg(F.count("*"), F.sum("token_count")).first()
+            n_dead, dead_tokens = int(dead[0]), int(dead[1] or 0)
+            n_docs -= n_dead
+            total_tokens -= dead_tokens
+            self.doc_stats = self.doc_stats.join(
+                F.broadcast(tombs), "doc_id", "left_anti"
+            )
+            self.N = max(n_docs, 1)
+            self.avgdl = max(
+                (total_tokens / n_docs) if n_docs > 0 else 0.0, 1.0
+            )
+        else:
+            self.N = max(n_docs, 1)
+            self.avgdl = max(float(self.stats["avgdl"]), 1.0)
         self._local = None
 
     @property
@@ -127,9 +155,19 @@ class SearchEngine:
         ).otherwise(F.lit(0.0))
 
     def _decoded(self, postings: DataFrame) -> DataFrame:
-        return postings.select("term", "payload", "df_shard", "df").mapInPandas(
+        out = postings.select("term", "payload", "df_shard", "df").mapInPandas(
             _decode_rows, _DECODED_SCHEMA
         )
+        if self.tomb_ids.size:
+            from pyspark.sql import Window
+
+            # drop dead postings, then df must be the LIVE document frequency
+            # (the reference recomputes global df over live docs per query,
+            # QueryEngine.java:445-463)
+            out = out.filter(
+                ~F.col("doc_id").isin([int(x) for x in self.tomb_ids])
+            ).withColumn("df", F.count("*").over(Window.partitionBy("term")))
+        return out
 
     def _scored_terms(self, terms: Sequence[str]) -> DataFrame:
         """(term, doc_id, score) for the given normalized terms."""
@@ -319,9 +357,8 @@ class SearchEngine:
         limit = max(0, min(limit, MAX_SEARCH_LIMIT))
         result = querydsl.parse(query)
         terms = self.wand_terms(result.ast)
-        if terms is None or result.sort is not None:
-            rows = self.search(query, limit).collect()
-            return [(r["doc_id"], r["score"]) for r in rows]
+        if terms is None or result.sort is not None or self.tomb_ids.size:
+            return self.search_result(query, limit)[0]
         terms = sorted({t for t in terms if t.strip()})
         if not terms:
             return []

@@ -70,6 +70,8 @@ class LocalExecutor:
         self.engine = engine
         self.meta_limit = meta_limit
         self._postings_cache: Dict[str, Tuple[np.ndarray, np.ndarray, np.ndarray, int]] = {}
+        self._prefix_cache: Dict[str, List[str]] = {}
+        self._positions_cache: Dict[str, Dict[int, np.ndarray]] = {}
         self._meta: Optional[pd.DataFrame] = None
         self._all_ids: Optional[np.ndarray] = None
         self._tc: Optional[pd.Series] = None
@@ -101,10 +103,14 @@ class LocalExecutor:
     def fetch_terms(self, terms: List[str], prefixes: List[str]) -> None:
         """One term-pruned scan for all postings the query needs."""
         missing = [t for t in terms if t not in self._postings_cache]
+        new_prefixes = [p for p in prefixes if p not in self._prefix_cache]
+        for p in prefixes:
+            if p in self._prefix_cache:
+                self._prefix_terms[p] = self._prefix_cache[p]
         conds = []
         if missing:
             conds.append(F.col("term").isin(missing))
-        for p in prefixes:
+        for p in new_prefixes:
             conds.append(F.col("term").startswith(p))
         if not conds:
             return
@@ -119,6 +125,7 @@ class LocalExecutor:
         by_term: Dict[str, list] = {}
         for r in rows:
             by_term.setdefault(r["term"], []).append(r)
+        tomb = self.engine.tomb_ids
         for term, shard_rows in by_term.items():
             shard_rows.sort(key=lambda r: r["bucket"])  # bucket order == doc order
             ids_l, tf_l, dl_l = [], [], []
@@ -127,40 +134,47 @@ class LocalExecutor:
                 ids_l.append(i)
                 tf_l.append(t)
                 dl_l.append(d)
-            self._postings_cache[term] = (
-                np.concatenate(ids_l),
-                np.concatenate(tf_l),
-                np.concatenate(dl_l),
-                int(shard_rows[0]["df"]),
-            )
+            ids = np.concatenate(ids_l)
+            tfs = np.concatenate(tf_l)
+            dls = np.concatenate(dl_l)
+            df_live = int(shard_rows[0]["df"])
+            if tomb.size:
+                live = ~np.isin(ids, tomb)
+                ids, tfs, dls = ids[live], tfs[live], dls[live]
+                df_live = int(ids.size)  # live df (QueryEngine.java:445-463)
+            self._postings_cache[term] = (ids, tfs, dls, df_live)
         # negative-cache plain terms that do not exist in the dictionary
         for t in missing:
             self._postings_cache.setdefault(
                 t, (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64),
                     np.empty(0, dtype=np.int64), 0)
             )
-        # prefixes: remember the expansion term lists
-        for p in prefixes:
-            self._prefix_terms[p] = sorted(
-                t for t in by_term if t.startswith(p)
-            )
+        # prefixes: remember the expansion term lists (per query and cached)
+        for p in new_prefixes:
+            expansion = sorted(t for t in by_term if t.startswith(p))
+            self._prefix_terms[p] = expansion
+            self._prefix_cache[p] = expansion
 
     _prefix_terms: Dict[str, List[str]] = None  # set in execute()
 
     def _positions_for(self, terms: List[str]) -> Dict[str, Dict[int, np.ndarray]]:
         if self.engine.positions is None:
             return {}
-        rows = (
-            self.engine.positions.filter(F.col("term").isin(list(set(terms))))
-            .select("term", "doc_id", "positions")
-            .collect()
-        )
-        out: Dict[str, Dict[int, np.ndarray]] = {}
-        for r in rows:
-            out.setdefault(r["term"], {})[r["doc_id"]] = np.asarray(
-                r["positions"], dtype=np.int64
+        want = set(terms)
+        missing = sorted(want - set(self._positions_cache))
+        if missing:
+            rows = (
+                self.engine.positions.filter(F.col("term").isin(missing))
+                .select("term", "doc_id", "positions")
+                .collect()
             )
-        return out
+            for t in missing:
+                self._positions_cache[t] = {}
+            for r in rows:
+                self._positions_cache[r["term"]][r["doc_id"]] = np.asarray(
+                    r["positions"], dtype=np.int64
+                )
+        return {t: self._positions_cache.get(t, {}) for t in want}
 
     # ------------------------------------------------------------ evaluation
     def _score_term(self, term: str) -> _ScoreSet:

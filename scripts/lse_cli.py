@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""spark-submit entry point — the analog of the reference CLI
+(cli/MainCommand.java subcommands index/search/status/rebuild).
+
+    spark-submit --py-files lse.zip scripts/lse_cli.py index \
+        --source /path/to/table.parquet --index /path/to/index
+    spark-submit ... search --index /path/to/index --query 'java AND spark' \
+        --limit 10 [--json]
+    spark-submit ... status --index /path/to/index
+    spark-submit ... rebuild --source ... --index ...
+    spark-submit ... delete --index ... --repo R --path P
+
+The source table must have the input_hint shape
+(repo, path, commit, lang, content) or a documents-style shape with an
+existing doc_id + text column (auto-adapted).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def load_source(spark, path: str):
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    if "content" not in df.columns and "text" in df.columns:
+        df = df.withColumnRenamed("text", "content")
+    if "repo" not in df.columns and "source" in df.columns:
+        df = df.withColumnRenamed("source", "repo")
+    if "path" not in df.columns and {"repo", "doc_id"} <= set(df.columns):
+        df = df.withColumn(
+            "path",
+            F.concat(F.col("repo"), F.lit("/doc_"), F.col("doc_id").cast("string")),
+        )
+    return df
+
+
+def main() -> int:
+    p = argparse.ArgumentParser(prog="lse")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    for name in ("index", "rebuild"):
+        s = sub.add_parser(name)
+        s.add_argument("--source", required=True)
+        s.add_argument("--index", required=True)
+        s.add_argument("--buckets", type=int, default=8)
+        s.add_argument("--partitions", type=int, default=32)
+        s.add_argument("--no-positions", action="store_true")
+        s.add_argument("--store-content", action="store_true")
+
+    s = sub.add_parser("search")
+    s.add_argument("--index", required=True)
+    s.add_argument("--query", required=True)
+    s.add_argument("--limit", type=int, default=10)
+    s.add_argument("--json", action="store_true")
+    s.add_argument("--mode", default="auto", choices=["auto", "local", "spark"])
+
+    s = sub.add_parser("status")
+    s.add_argument("--index", required=True)
+
+    s = sub.add_parser("delete")
+    s.add_argument("--index", required=True)
+    s.add_argument("--repo", required=True)
+    s.add_argument("--path", required=True)
+
+    args = p.parse_args()
+
+    from lse.session import get_spark
+
+    spark = get_spark("lse-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        if args.cmd in ("index", "rebuild"):
+            from lse.build import build_index
+
+            if args.cmd == "rebuild" and os.path.exists(args.index):
+                shutil.rmtree(args.index)  # MainCommand.java:264-283
+            res = build_index(
+                spark,
+                load_source(spark, args.source),
+                args.index,
+                n_buckets=args.buckets,
+                index_partitions=args.partitions,
+                with_positions=not args.no_positions,
+                store_content=args.store_content,
+            )
+            print(json.dumps(dict(
+                n_docs=res.n_docs, avgdl=round(res.avgdl, 3),
+                build_id=res.build_id, stages_run=res.stages_run,
+                stages_skipped=res.stages_skipped,
+            )))
+        elif args.cmd == "search":
+            from lse.engine import SearchEngine
+            from lse.querydsl import QueryParseError
+
+            eng = SearchEngine(spark, args.index)
+            try:
+                hits, total = eng.search_result(args.query, args.limit, mode=args.mode)
+            except QueryParseError as e:
+                print(f"query error: {e}", file=sys.stderr)
+                return 2
+            if args.json:
+                print(json.dumps(dict(
+                    query=args.query, total_matches=total,
+                    hits=[dict(doc_id=d, score=s) for d, s in hits],
+                )))
+            else:
+                print(f"total matches: {total}")
+                for rank, (d, s) in enumerate(hits, 1):
+                    print(f"{rank:3d}. doc={d} score={s:.6f}")
+        elif args.cmd == "status":
+            from lse.maintenance import index_status
+
+            print(json.dumps(index_status(spark, args.index)))
+        elif args.cmd == "delete":
+            from lse.maintenance import delete_by_path
+
+            n = delete_by_path(spark, args.index, args.repo, args.path)
+            print(json.dumps(dict(deleted=n)))
+    finally:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

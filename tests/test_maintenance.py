@@ -1,0 +1,91 @@
+"""Maintenance tests: status aggregates, incremental snapshot diff,
+tombstoned deletes with live-doc query semantics (mirrors the reference's
+incremental add/update/delete integration tests,
+IndexIntegrationTest.java:112-155, :257-274)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from lse.build import build_index
+from lse.engine import SearchEngine
+from lse.fixtures import make_repos_df, make_repos_pdf
+from lse.maintenance import delete_by_path, delete_docs, incremental_diff, index_status
+from lse.oracle import OracleIndex
+
+
+@pytest.fixture()
+def built(spark, tmp_path):
+    source = make_repos_df(spark, n_docs=60, partitions=2)
+    d = str(tmp_path / "idx")
+    build_index(spark, source, d, n_buckets=2, index_partitions=2)
+    return d
+
+
+def test_index_status(spark, built):
+    st = index_status(spark, built)
+    assert st["doc_count"] == 60 and st["live_doc_count"] == 60
+    assert st["term_count"] > 50
+    assert st["postings_total"] > 0
+    assert st["index_size_bytes"] > 0
+    assert st["tombstones"] == 0
+
+
+def test_incremental_diff(spark, built):
+    pdf = make_repos_pdf(60)
+    # mutate: change one content, drop one row, add one row
+    pdf.loc[3, "content"] = "totally new content here"
+    pdf2 = pdf.drop(index=7)
+    new_row = pdf.iloc[5].copy()
+    new_row["path"] = "src/new/brandnew.py"
+    pdf2 = __import__("pandas").concat(
+        [pdf2, new_row.to_frame().T], ignore_index=True
+    )
+    new_source = spark.createDataFrame(pdf2)
+    diff = {
+        (r["op"], r["path"])
+        for r in incremental_diff(spark, built, new_source).collect()
+    }
+    assert ("UPDATE", pdf.loc[3, "path"]) in diff
+    assert ("DELETE", pdf.loc[7, "path"]) in diff
+    assert ("ADD", "src/new/brandnew.py") in diff
+    assert len(diff) == 3
+
+
+def test_delete_matches_rebuilt_oracle(spark, built):
+    """After tombstoning docs, every query must return exactly what an
+    oracle over the REMAINING corpus returns (live N/avgdl/df semantics)."""
+    docs_pdf = spark.read.parquet(os.path.join(built, "docs")).toPandas()
+    victims = sorted(docs_pdf["doc_id"].tolist())[:8]
+    delete_docs(spark, built, victims)
+
+    engine = SearchEngine(spark, built)  # reload picks up tombstones
+    surviving = docs_pdf[~docs_pdf["doc_id"].isin(victims)]
+    oracle = OracleIndex(surviving)
+    assert engine.N == len(surviving)
+
+    for q in ["java", "java AND programming", "-java", "config*",
+              '"distributed system"', "lang:md", "java OR python"]:
+        got, got_total = engine.search_result(q, 10)
+        want, want_total = oracle.search(q, 10)
+        assert got_total == want_total, q
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        for (gd, gs), (_, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, abs=1e-9), (q, gd)
+        # the spark tier agrees too
+        got_sp, total_sp = engine.search_result(q, 10, mode="spark")
+        assert total_sp == want_total, q
+        assert [d for d, _ in got_sp] == [d for d, _ in want], q
+
+    st = index_status(spark, built)
+    assert st["tombstones"] == 8 and st["live_doc_count"] == 52
+
+
+def test_delete_by_path(spark, built):
+    docs = spark.read.parquet(os.path.join(built, "docs"))
+    row = docs.first()
+    n = delete_by_path(spark, built, row["repo"], row["path"])
+    assert n == 1
+    engine = SearchEngine(spark, built)
+    assert int(engine.tomb_ids[0]) == row["doc_id"]

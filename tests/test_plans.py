@@ -1,0 +1,62 @@
+"""Physical-plan quality gates: the things that make the design survive a
+100× scale-up must be visible in `explain`, not just hoped for.
+
+* term predicates reach the parquet scan (PushedFilters) — a query touches
+  only the posting files whose term range matches;
+* the postings scan prunes columns (ReadSchema excludes the heavy payload
+  when only df is needed);
+* scoring stays inside WholeStageCodegen on the DataFrame path."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lse.engine import SearchEngine
+
+
+@pytest.fixture(scope="module")
+def engine(spark, fixture_index):
+    index_dir, _ = fixture_index
+    return SearchEngine(spark, index_dir)
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_term_filter_pushed_to_scan(engine):
+    df = engine.postings.filter(F.col("term").isin(["java", "spark"]))
+    plan = plan_of(df)
+    assert "PushedFilters" in plan
+    assert "In(term" in plan or "EqualTo(term" in plan, plan[:2000]
+
+
+def test_prefix_filter_pushed_to_scan(engine):
+    df = engine.postings.filter(F.col("term").startswith("config"))
+    plan = plan_of(df)
+    assert "StringStartsWith(term,config" in plan, plan[:2000]
+
+
+def test_column_pruning_on_df_lookup(engine):
+    df = engine.postings.filter(F.col("term") == "java").select("term", "df")
+    plan = plan_of(df)
+    # the binary payload and block arrays must NOT be read for a df lookup
+    assert "payload" not in plan.split("ReadSchema")[1][:400], plan[:2500]
+
+
+def test_scoring_runs_in_codegen(engine):
+    from lse import querydsl
+
+    df = engine.compile(querydsl.parse("java").ast)
+    plan = plan_of(df)
+    # formatted mode marks codegen stages with "[codegen id : N]"; the BM25
+    # projection after the Arrow decode must carry one (inline `ln`/CASE)
+    assert "[codegen id :" in plan
+    assert "ln(" in plan and "CASE WHEN" in plan
+
+
+def test_doc_stats_filter_pushdown(engine):
+    df = engine.doc_stats.filter(F.col("lang") == "md").select("doc_id")
+    plan = plan_of(df)
+    assert "EqualTo(lang,md)" in plan, plan[:2000]
