@@ -168,6 +168,34 @@ def tokenize_to_term_doc(docs: DataFrame, enable_stopwords: bool = True,
     return out.select("doc_id", "term", "tf", "dl", "positions")
 
 
+POSITIONS_TABLE_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType()),
+        T.StructField("bucket", T.IntegerType()),
+        T.StructField("n_docs", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def _encode_position_groups(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    from .codec import encode_positions
+
+    term, bucket = key
+    pdf = pdf.sort_values("doc_id")
+    payload = encode_positions(
+        pdf["doc_id"].to_numpy(dtype=np.int64), list(pdf["positions"])
+    )
+    return pd.DataFrame(
+        {
+            "term": [term],
+            "bucket": [bucket],
+            "n_docs": [len(pdf)],
+            "payload": [payload],
+        }
+    )
+
+
 def _encode_groups(avgdl: float):
     def encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
         term, bucket = key
@@ -365,10 +393,17 @@ def build_index(
         return None
 
     # ----------------------------------------------------- stage: positions
+    # compressed per (term, bucket): delta+varbyte doc ids, per-doc counts,
+    # per-doc delta-encoded positions (PositionWriter.java:42-60 layout) —
+    # one row per shard instead of one per (term, doc)
     if with_positions and not committed("positions"):
-        positions = term_doc.select("term", "bucket", "doc_id", "positions")
+        positions = (
+            term_doc.select("term", "bucket", "doc_id", "positions")
+            .groupBy("term", "bucket")
+            .applyInPandas(_encode_position_groups, POSITIONS_TABLE_SCHEMA)
+        )
         commit("positions", positions, partition_cols=["term", "bucket"],
-               sort_cols=["term", "bucket", "doc_id"], how="range")
+               sort_cols=["term", "bucket"], how="range")
     if stop_requested("positions"):
         return None
 

@@ -219,6 +219,46 @@ def decode_postings(
     )
 
 
+def encode_positions(doc_ids: np.ndarray, pos_lists) -> bytes:
+    """Compress one term-shard's position index (PositionWriter.java:42-60
+    layout, numpy-vectorized): varbyte(delta(doc_ids)) + varbyte(count per
+    doc) + varbyte(per-doc delta-encoded positions, concatenated)."""
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    n = doc_ids.size
+    if n == 0:
+        return b""
+    counts = np.fromiter((len(p) for p in pos_lists), dtype=np.int64, count=n)
+    if counts.sum() == 0:
+        flat = np.empty(0, dtype=np.int64)
+    else:
+        flat = np.concatenate(
+            [delta_encode(np.asarray(p, dtype=np.int64)) for p in pos_lists]
+        )
+    return (
+        varbyte_encode(delta_encode(doc_ids))
+        + varbyte_encode(counts)
+        + varbyte_encode(flat)
+    )
+
+
+def decode_positions_blob(payload: bytes, n_docs: int):
+    """→ (doc_ids int64[n], list of int64 position arrays per doc)."""
+    n = int(n_docs)
+    if n == 0:
+        return np.empty(0, dtype=np.int64), []
+    deltas, off = varbyte_decode(payload, 0, n)
+    doc_ids = delta_decode(deltas)
+    counts, off = varbyte_decode(payload, off, n)
+    total = int(counts.sum())
+    flat, _ = varbyte_decode(payload, off, total)
+    out = []
+    ends = np.cumsum(counts)
+    starts = ends - counts
+    for s, e in zip(starts, ends):
+        out.append(delta_decode(flat[s:e]))
+    return doc_ids, out
+
+
 def decode_block(
     payload: bytes,
     block_offset: int,

@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from . import querydsl
-from .codec import decode_postings
+from .codec import decode_positions_blob, decode_postings
 from .constants import BM25_B, BM25_K1, MAX_SEARCH_LIMIT
 from .querydsl import Bool, Field, Node, Not, Phrase, Prefix, Range, Term
 from .wand import TermCursor, wand_topk
@@ -59,6 +59,41 @@ _TOPK_SCHEMA = T.StructType(
         T.StructField("score", T.DoubleType()),
     ]
 )
+
+
+_POS_ROWS_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("pos", T.IntegerType()),
+    ]
+)
+
+
+def _decode_pos_rows(batches: Iterable[pd.DataFrame]):
+    for pdf in batches:
+        outs = []
+        for term, n, payload in zip(pdf["term"], pdf["n_docs"], pdf["payload"]):
+            ids, plists = decode_positions_blob(bytes(payload), int(n))
+            counts = np.fromiter((len(p) for p in plists), dtype=np.int64,
+                                 count=len(plists))
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "term": term,
+                        "doc_id": np.repeat(ids, counts),
+                        "pos": (
+                            np.concatenate(plists) if counts.sum() else
+                            np.empty(0, dtype=np.int64)
+                        ).astype("int32"),
+                    }
+                )
+            )
+        yield pd.concat(outs) if outs else pd.DataFrame(
+            {"term": pd.Series(dtype="object"),
+             "doc_id": pd.Series(dtype="int64"),
+             "pos": pd.Series(dtype="int32")}
+        )
 
 
 def _decode_rows(batches: Iterable[pd.DataFrame]):
@@ -236,9 +271,13 @@ class SearchEngine:
             return self._empty()
         # adjacency chain: term_i must appear at pos0 + i (QueryEngine.java:309-341)
         pos = self.positions.filter(F.col("term").isin(list(set(terms))))
-        exploded = pos.select(
-            "term", "doc_id", F.explode("positions").alias("pos")
+        exploded = pos.select("term", "n_docs", "payload").mapInPandas(
+            _decode_pos_rows, _POS_ROWS_SCHEMA
         )
+        if self.tomb_ids.size:
+            exploded = exploded.filter(
+                ~F.col("doc_id").isin([int(x) for x in self.tomb_ids])
+            )
         chain = (
             exploded.filter(F.col("term") == terms[0])
             .select("doc_id", F.col("pos").alias("p0"))

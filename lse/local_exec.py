@@ -163,17 +163,22 @@ class LocalExecutor:
         want = set(terms)
         missing = sorted(want - set(self._positions_cache))
         if missing:
+            from .codec import decode_positions_blob
+
             rows = (
                 self.engine.positions.filter(F.col("term").isin(missing))
-                .select("term", "doc_id", "positions")
+                .select("term", "n_docs", "payload")
                 .collect()
             )
             for t in missing:
                 self._positions_cache[t] = {}
             for r in rows:
-                self._positions_cache[r["term"]][r["doc_id"]] = np.asarray(
-                    r["positions"], dtype=np.int64
+                ids, plists = decode_positions_blob(
+                    bytes(r["payload"]), int(r["n_docs"])
                 )
+                slot = self._positions_cache[r["term"]]
+                for d, p in zip(ids, plists):
+                    slot[int(d)] = p
         return {t: self._positions_cache.get(t, {}) for t in want}
 
     # ------------------------------------------------------------ evaluation

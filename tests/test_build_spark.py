@@ -83,10 +83,16 @@ def test_content_sha_invariant(spark, fixture_index):
 
 
 def test_positions_match_oracle(spark, fixture_index):
+    from lse.codec import decode_positions_blob
+
     index_dir, docs_pdf = fixture_index
     oracle = OracleIndex(docs_pdf)
     pos_rows = spark.read.parquet(os.path.join(index_dir, "positions")).collect()
-    got = {(r["term"], r["doc_id"]): list(r["positions"]) for r in pos_rows}
+    got = {}
+    for r in pos_rows:
+        ids, plists = decode_positions_blob(bytes(r["payload"]), r["n_docs"])
+        for d, p in zip(ids, plists):
+            got[(r["term"], int(d))] = p.tolist()
     want = {
         (term, doc): plist
         for term, docs in oracle.positions.items()

@@ -131,3 +131,27 @@ def test_empty_postings():
     assert enc.df == 0 and enc.payload == b""
     ids, tfs, dls = decode_postings(enc.payload, 0)
     assert ids.size == 0
+
+
+def test_positions_blob_roundtrip():
+    from lse.codec import decode_positions_blob, encode_positions
+
+    rng = np.random.default_rng(5)
+    doc_ids = np.cumsum(rng.integers(1, 9, size=40))
+    plists = [
+        np.sort(rng.choice(500, size=int(rng.integers(1, 12)), replace=False))
+        for _ in range(40)
+    ]
+    payload = encode_positions(doc_ids, plists)
+    ids2, plists2 = decode_positions_blob(payload, 40)
+    np.testing.assert_array_equal(ids2, doc_ids)
+    for a, b in zip(plists, plists2):
+        np.testing.assert_array_equal(np.asarray(a), b)
+
+
+def test_positions_blob_empty():
+    from lse.codec import decode_positions_blob, encode_positions
+
+    assert encode_positions(np.empty(0, dtype=np.int64), []) == b""
+    ids, plists = decode_positions_blob(b"", 0)
+    assert ids.size == 0 and plists == []
