@@ -41,7 +41,7 @@ from . import querydsl
 from .codec import decode_positions_blob, decode_postings
 from .constants import BM25_B, BM25_K1, MAX_SEARCH_LIMIT
 from .querydsl import Bool, Field, Node, Not, Phrase, Prefix, Range, Term
-from .wand import TermCursor, wand_topk
+from .wand import TermCursor, wand_topk, wand_topk_and
 
 _DECODED_SCHEMA = T.StructType(
     [
@@ -379,47 +379,68 @@ class SearchEngine:
             scores.unpersist()
 
     # --------------------------------------------------------- WAND fast path
-    def wand_terms(self, node: Node) -> Optional[List[str]]:
-        """Terms if the AST is a pure OR-of-terms tree, else None."""
+    def wand_terms(self, node: Node, op: str = "OR") -> Optional[List[str]]:
+        """Terms (WITH multiplicity — a repeated term scores twice, matching
+        the reference's score-sum merge) if the AST is a pure tree of ``op``
+        over Terms, else None."""
         if isinstance(node, Term):
             return [node.term.lower()]
-        if isinstance(node, Bool) and node.op == "OR":
-            l = self.wand_terms(node.left)
-            r = self.wand_terms(node.right)
+        if isinstance(node, Bool) and node.op == op:
+            l = self.wand_terms(node.left, op)
+            r = self.wand_terms(node.right, op)
             if l is not None and r is not None:
                 return l + r
         return None
 
     def search_topk(self, query: str, limit: int = 10) -> List[Tuple[int, float]]:
-        """Top-k via distributed block-max WAND when the query is an
-        OR-of-terms; falls back to the DataFrame path otherwise."""
+        """Top-k via distributed block-max WAND when the query is a pure
+        OR-of-terms (disjunctive WAND) or AND-of-terms (conjunctive DAAT
+        intersection); falls back to the general path otherwise. Runs as
+        ``applyInPandas`` per doc-range bucket — buckets are aligned across
+        terms, so each bucket's top-k is independent and the global top-k is
+        their fold."""
         limit = max(0, min(limit, MAX_SEARCH_LIMIT))
         result = querydsl.parse(query)
-        terms = self.wand_terms(result.ast)
-        if terms is None or result.sort is not None or self.tomb_ids.size:
+        or_terms = self.wand_terms(result.ast, "OR")
+        and_terms = self.wand_terms(result.ast, "AND")
+        terms = or_terms if or_terms is not None else and_terms
+        conjunctive = or_terms is None
+        if terms is not None:
+            terms = [t for t in terms if t.strip()]
+        if terms is None or not terms or result.sort is not None or self.tomb_ids.size:
             return self.search_result(query, limit)[0]
-        terms = sorted({t for t in terms if t.strip()})
-        if not terms:
-            return []
-        rows = self.postings.filter(F.col("term").isin(terms))
+        multiplicity: dict = {}
+        for t in terms:
+            multiplicity[t] = multiplicity.get(t, 0) + 1
+        n_distinct = len(multiplicity)
+        rows = self.postings.filter(F.col("term").isin(sorted(multiplicity)))
         N, avgdl, k = self.N, self.avgdl, limit
 
         def bucket_wand(key, pdf: pd.DataFrame) -> pd.DataFrame:
             cursors = []
             for r in pdf.itertuples(index=False):
                 dfg = int(r.df)
-                idf = float(np.log((N - min(max(dfg, 0), N) + 0.5) / (min(max(dfg, 0), N) + 0.5) + 1.0))
-                cursors.append(
-                    TermCursor(
-                        bytes(r.payload),
-                        r.block_last_doc,
-                        r.block_offset,
-                        r.block_max_raw,
-                        int(r.df_shard),
-                        idf,
+                bounded = min(max(dfg, 0), N)
+                idf = float(np.log((N - bounded + 0.5) / (bounded + 0.5) + 1.0))
+                for _ in range(multiplicity[r.term]):
+                    cursors.append(
+                        TermCursor(
+                            bytes(r.payload),
+                            r.block_last_doc,
+                            r.block_offset,
+                            r.block_max_raw,
+                            int(r.df_shard),
+                            idf,
+                        )
                     )
-                )
-            hits = wand_topk(cursors, k, avgdl)
+            if conjunctive:
+                # a term absent from this bucket ⇒ no conjunctive match here
+                if len(pdf) < n_distinct:
+                    hits = []
+                else:
+                    hits = wand_topk_and(cursors, k, avgdl)
+            else:
+                hits = wand_topk(cursors, k, avgdl)
             return pd.DataFrame(
                 {
                     "doc_id": pd.Series([h[0] for h in hits], dtype="int64"),

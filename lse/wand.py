@@ -211,6 +211,48 @@ def wand_topk(
     return top.items()
 
 
+def wand_topk_and(
+    cursors: Sequence[TermCursor],
+    k: int,
+    avgdl: float,
+) -> List[Tuple[int, float]]:
+    """Exact top-k over the AND of the given term cursors (doc must appear
+    in every cursor; score = sum). Document-at-a-time intersection seeded by
+    cursor alignment with block-skipping seeks, plus the block-max bound to
+    skip aligned regions that cannot beat the current threshold."""
+    top = TopK(k)
+    if not cursors or any(c.exhausted for c in cursors):
+        return []
+    while True:
+        d = max(c.cur_doc() for c in cursors)
+        aligned = True
+        for c in cursors:
+            if c.cur_doc() < d:
+                c.seek(d)
+                if c.exhausted:
+                    return top.items()
+                if c.cur_doc() > d:
+                    aligned = False
+        if not aligned:
+            continue
+        theta = top.threshold()
+        if theta != float("-inf"):
+            ub = sum(c.cur_block_max_score() for c in cursors)
+            if ub <= theta:
+                # skip past the nearest block boundary among all terms
+                boundary = min(c.cur_block_last() for c in cursors)
+                for c in cursors:
+                    c.seek(boundary + 1)
+                    if c.exhausted:
+                        return top.items()
+                continue
+        top.offer(d, sum(c.score_current(avgdl) for c in cursors))
+        for c in cursors:
+            c.advance()
+            if c.exhausted:
+                return top.items()
+
+
 def exhaustive_scores(
     term_rows: Dict[str, list],
     n_docs: int,

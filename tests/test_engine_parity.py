@@ -27,6 +27,9 @@ QUERIES = [
     "java OR python OR spark",               # multi-OR
     "spark AND -java",                       # AND with negation
     "the",                                   # stopword → empty
+    "搜索",                                   # CJK bigram term (dictionary hit)
+    "引擎 OR 世界",                            # CJK bigram OR
+    "hello 世界",                             # mixed-script implicit AND
 ]
 
 
@@ -59,4 +62,29 @@ def test_wand_topk_exact(engine_and_oracle, query):
     want, _ = oracle.search(query, limit=10)
     assert [d for d, _ in got] == [d for d, _ in want]
     for (gd, gs), (wd, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, abs=1e-9)
+
+
+AND_WAND_QUERIES = ["java AND programming", "spark AND query AND index",
+                    "java AND java"]
+
+
+@pytest.mark.parametrize("query", AND_WAND_QUERIES)
+def test_wand_and_topk_exact(engine_and_oracle, query):
+    """Conjunctive distributed WAND must match the oracle exactly (including
+    the duplicate-term double-count semantics of the reference)."""
+    engine, oracle = engine_and_oracle
+    got = engine.search_topk(query, limit=10)
+    want, _ = oracle.search(query, limit=10)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (gd, gs), (_, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, abs=1e-9)
+
+
+def test_wand_or_duplicate_term_multiplicity(engine_and_oracle):
+    engine, oracle = engine_and_oracle
+    got = engine.search_topk("java OR java", limit=5)
+    want, _ = oracle.search("java OR java", limit=5)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (gd, gs), (_, ws) in zip(got, want):
         assert gs == pytest.approx(ws, abs=1e-9)

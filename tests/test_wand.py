@@ -92,3 +92,43 @@ def test_equal_score_tiebreak_doc_id_asc():
                    enc.block_max_raw, enc.df, idf_fn(100, 1000))
     got = wand_topk([c], 5, 50.0)
     assert [d for d, _ in got] == [100, 101, 102, 103, 104]
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("specs", [[400, 300], [2000, 50], [900, 600, 100]])
+def test_wand_and_exact_vs_exhaustive(seed, specs):
+    from lse.wand import wand_topk_and
+
+    rng = np.random.default_rng(seed)
+    N, avgdl, k = 3000, 90.0, 10
+    cursors, rows = cursors_and_rows(rng, specs, N, avgdl)
+    got = wand_topk_and(cursors, k, avgdl)
+    # exhaustive AND reference: intersect, then sum
+    import numpy as _np
+
+    per_term = []
+    for term, shards in rows.items():
+        ids, scores = exhaustive_scores({term: shards}, N, avgdl)
+        per_term.append(dict(zip(ids.tolist(), scores.tolist())))
+    common = set(per_term[0])
+    for m in per_term[1:]:
+        common &= set(m)
+    want_ids = _np.array(sorted(common), dtype=_np.int64)
+    want_scores = _np.array([sum(m[d] for m in per_term) for d in want_ids])
+    want = topk_from_scores(want_ids, want_scores, k)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    np.testing.assert_allclose([s for _, s in got], [s for _, s in want], atol=1e-12)
+
+
+def test_wand_and_disjoint_terms_empty():
+    from lse.codec import encode_postings
+    from lse.wand import wand_topk_and
+    from lse.bm25 import idf as idf_fn
+
+    a = encode_postings(np.array([1, 3, 5]), np.array([1, 1, 1]), np.array([10, 10, 10]), 10.0)
+    b = encode_postings(np.array([2, 4, 6]), np.array([1, 1, 1]), np.array([10, 10, 10]), 10.0)
+    cursors = [
+        TermCursor(e.payload, e.block_last_doc, e.block_offset, e.block_max_raw, e.df, idf_fn(3, 100))
+        for e in (a, b)
+    ]
+    assert wand_topk_and(cursors, 5, 10.0) == []
