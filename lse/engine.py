@@ -123,14 +123,45 @@ class SearchEngine:
     def __init__(self, spark: SparkSession, index_dir: str):
         self.spark = spark
         self.index_dir = index_dir
-        self.postings = spark.read.parquet(os.path.join(index_dir, "postings"))
-        self.doc_stats = spark.read.parquet(os.path.join(index_dir, "doc_stats"))
+        # segments: the base index + any incremental delta segments
+        # (maintenance.apply_incremental); a doc lives in exactly one segment
+        segments = [index_dir]
+        deltas_root = os.path.join(index_dir, "deltas")
+        if os.path.isdir(deltas_root):
+            segments += [
+                os.path.join(deltas_root, d)
+                for d in sorted(os.listdir(deltas_root))
+                if not d.endswith(".diff")
+            ]
+        self.segments = segments
+        self.multi_segment = len(segments) > 1
+
+        def union_tables(name: str):
+            dfs = [
+                spark.read.parquet(os.path.join(s, name))
+                for s in segments
+                if os.path.exists(os.path.join(s, name, "_SUCCESS"))
+            ]
+            if not dfs:
+                return None
+            out = dfs[0]
+            for d in dfs[1:]:
+                out = out.unionByName(d, allowMissingColumns=True)
+            return out
+
+        self.postings = union_tables("postings")
+        self.doc_stats = union_tables("doc_stats")
         self.stats = spark.read.parquet(os.path.join(index_dir, "stats")).first().asDict()
-        pos_dir = os.path.join(index_dir, "positions")
+        if self.multi_segment:
+            agg = self.doc_stats.agg(
+                F.count("*").alias("n"), F.sum("token_count").alias("t")
+            ).first()
+            self.stats = dict(
+                self.stats, n_docs=int(agg["n"]), total_tokens=int(agg["t"] or 0),
+                avgdl=(float(agg["t"] or 0) / agg["n"]) if agg["n"] else 0.0,
+            )
         self.positions = (
-            spark.read.parquet(pos_dir)
-            if self.stats.get("with_positions") and os.path.exists(pos_dir)
-            else None
+            union_tables("positions") if self.stats.get("with_positions") else None
         )
         # tombstones: deleted docs are excluded live, and N/avgdl shrink to
         # the live corpus — matching the reference's live-doc filtering
@@ -193,15 +224,17 @@ class SearchEngine:
         out = postings.select("term", "payload", "df_shard", "df").mapInPandas(
             _decode_rows, _DECODED_SCHEMA
         )
-        if self.tomb_ids.size:
+        if self.tomb_ids.size or self.multi_segment:
             from pyspark.sql import Window
 
-            # drop dead postings, then df must be the LIVE document frequency
-            # (the reference recomputes global df over live docs per query,
-            # QueryEngine.java:445-463)
-            out = out.filter(
-                ~F.col("doc_id").isin([int(x) for x in self.tomb_ids])
-            ).withColumn("df", F.count("*").over(Window.partitionBy("term")))
+            # drop dead postings, then df must be the LIVE GLOBAL document
+            # frequency across segments (the reference recomputes global df
+            # over live docs per query, QueryEngine.java:445-463)
+            if self.tomb_ids.size:
+                out = out.filter(
+                    ~F.col("doc_id").isin([int(x) for x in self.tomb_ids])
+                )
+            out = out.withColumn("df", F.count("*").over(Window.partitionBy("term")))
         return out
 
     def _scored_terms(self, terms: Sequence[str]) -> DataFrame:
@@ -407,7 +440,13 @@ class SearchEngine:
         conjunctive = or_terms is None
         if terms is not None:
             terms = [t for t in terms if t.strip()]
-        if terms is None or not terms or result.sort is not None or self.tomb_ids.size:
+        if (
+            terms is None or not terms or result.sort is not None
+            or self.tomb_ids.size or self.multi_segment
+        ):
+            # tombstones / delta segments change live df — serve via the
+            # general tiers which recompute it (TODO: pass a live-df map
+            # into the WAND closure instead)
             return self.search_result(query, limit)[0]
         multiplicity: dict = {}
         for t in terms:
@@ -435,7 +474,7 @@ class SearchEngine:
                     )
             if conjunctive:
                 # a term absent from this bucket ⇒ no conjunctive match here
-                if len(pdf) < n_distinct:
+                if pdf["term"].nunique() < n_distinct:
                     hits = []
                 else:
                     hits = wand_topk_and(cursors, k, avgdl)

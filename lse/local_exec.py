@@ -137,12 +137,15 @@ class LocalExecutor:
             ids = np.concatenate(ids_l)
             tfs = np.concatenate(tf_l)
             dls = np.concatenate(dl_l)
-            df_live = int(shard_rows[0]["df"])
+            if self.engine.multi_segment:
+                # segments interleave in doc-id space; restore sorted order
+                order = np.argsort(ids, kind="stable")
+                ids, tfs, dls = ids[order], tfs[order], dls[order]
             if tomb.size:
                 live = ~np.isin(ids, tomb)
                 ids, tfs, dls = ids[live], tfs[live], dls[live]
-                df_live = int(ids.size)  # live df (QueryEngine.java:445-463)
-            self._postings_cache[term] = (ids, tfs, dls, df_live)
+            # live GLOBAL df across segments (QueryEngine.java:445-463)
+            self._postings_cache[term] = (ids, tfs, dls, int(ids.size))
         # negative-cache plain terms that do not exist in the dictionary
         for t in missing:
             self._postings_cache.setdefault(

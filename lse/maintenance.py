@@ -26,6 +26,33 @@ from pyspark.sql import functions as F
 DOC_KEY = ["repo", "path", "commit"]
 
 
+def _segments(index_dir: str):
+    segs = [index_dir]
+    deltas = os.path.join(index_dir, "deltas")
+    if os.path.isdir(deltas):
+        segs += [
+            os.path.join(deltas, d)
+            for d in sorted(os.listdir(deltas))
+            if not d.endswith(".diff")
+        ]
+    return segs
+
+
+def _all_docs(spark: SparkSession, index_dir: str) -> DataFrame:
+    dfs = [
+        spark.read.parquet(os.path.join(s, "docs")) for s in _segments(index_dir)
+    ]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d, allowMissingColumns=True)
+    # tombstoned docs are no longer part of the logical corpus
+    tomb_dir = os.path.join(index_dir, "tombstones")
+    if os.path.exists(tomb_dir):
+        tombs = spark.read.parquet(tomb_dir).select("doc_id").distinct()
+        out = out.join(tombs, "doc_id", "left_anti")
+    return out
+
+
 def index_status(spark: SparkSession, index_dir: str) -> dict:
     stats = spark.read.parquet(os.path.join(index_dir, "stats")).first().asDict()
     post = spark.read.parquet(os.path.join(index_dir, "postings"))
@@ -63,7 +90,7 @@ def incremental_diff(
     """(op, repo, path, commit) with op ∈ {ADD, UPDATE, DELETE} comparing the
     indexed docs snapshot against a new source snapshot. Pure anti/semi/inner
     joins — Catalyst picks broadcast vs shuffle by size."""
-    old = spark.read.parquet(os.path.join(index_dir, "docs")).select(
+    old = _all_docs(spark, index_dir).select(
         *DOC_KEY, F.col("content_sha256").alias("old_sha")
     )
     new = new_source.select(
@@ -81,6 +108,79 @@ def incremental_diff(
         .select(F.lit("UPDATE").alias("op"), *DOC_KEY)
     )
     return added.unionByName(updated).unionByName(deleted)
+
+
+def apply_incremental(
+    spark: SparkSession, index_dir: str, new_source: DataFrame, **build_opts
+) -> dict:
+    """Incremental reindex (reference semantics: UPDATE = delete + re-add,
+    docs/IMPLEMENTATION_PROMPT.md:251-256):
+
+    1. diff the new source snapshot against the indexed docs;
+    2. tombstone the old doc ids of DELETEd and UPDATEd files;
+    3. build a DELTA SEGMENT over the ADDed + UPDATEd rows (its doc ids are
+       generation-salted hashes so they can never collide with live base
+       ids) under ``index_dir/deltas/delta_<gen>``;
+    4. SearchEngine unions base + delta segments at load and recomputes live
+       N/avgdl/df — queries then see exactly the new logical corpus.
+    """
+    from .build import build_index
+
+    deltas_root = os.path.join(index_dir, "deltas")
+    gen = 1
+    if os.path.exists(deltas_root):
+        gen = (
+            len([d for d in os.listdir(deltas_root) if not d.endswith(".diff")]) + 1
+        )
+    # SNAPSHOT the diff before mutating anything it reads: tombstoning
+    # changes _all_docs, and a lazily (re)computed diff would then see its
+    # own effects and vanish. The parquet snapshot is also the crash-safe
+    # record of what this increment is doing.
+    diff_dir = os.path.join(deltas_root, f"delta_{gen:04d}.diff")
+    incremental_diff(spark, index_dir, new_source).write.mode("overwrite").parquet(
+        diff_dir
+    )
+    diff = spark.read.parquet(diff_dir)
+    changed = diff.filter(F.col("op").isin("UPDATE", "DELETE")).select(*DOC_KEY)
+    dead_ids = [
+        r["doc_id"]
+        for r in _all_docs(spark, index_dir)
+        .join(changed, DOC_KEY, "left_semi")
+        .select("doc_id")
+        .collect()
+    ]
+    n_tombstoned = delete_docs(spark, index_dir, dead_ids)
+
+    fresh_keys = diff.filter(F.col("op").isin("ADD", "UPDATE")).select(*DOC_KEY)
+    fresh = new_source.join(fresh_keys, DOC_KEY, "left_semi")
+    n_fresh = fresh.count()
+    delta_dir = None
+    if n_fresh:
+        delta_dir = os.path.join(deltas_root, f"delta_{gen:04d}")
+        stats = spark.read.parquet(os.path.join(index_dir, "stats")).first()
+        fresh = fresh.withColumn(
+            "doc_id",
+            F.shiftrightunsigned(
+                F.xxhash64("repo", "path", "commit", F.lit(gen)), 1
+            ),
+        )
+        base_docs_cols = spark.read.parquet(os.path.join(index_dir, "docs")).columns
+        opts = dict(
+            precomputed_doc_id=True,
+            n_buckets=int(stats["n_buckets"]),
+            enable_stopwords=bool(stats["enable_stopwords"]),
+            with_positions=bool(stats["with_positions"]),
+            store_content="content" in base_docs_cols,
+        )
+        opts.update(build_opts)
+        build_index(spark, fresh, delta_dir, **opts)
+    ops = {r["op"]: r["n"] for r in diff.groupBy("op").agg(F.count("*").alias("n")).collect()}
+    return dict(
+        tombstoned=n_tombstoned,
+        delta_docs=int(n_fresh),
+        delta_dir=delta_dir,
+        ops=ops,
+    )
 
 
 def delete_docs(

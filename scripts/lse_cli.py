@@ -70,6 +70,10 @@ def main() -> int:
     s.add_argument("--repo", required=True)
     s.add_argument("--path", required=True)
 
+    s = sub.add_parser("update")  # incremental reindex against a new snapshot
+    s.add_argument("--source", required=True)
+    s.add_argument("--index", required=True)
+
     args = p.parse_args()
 
     from lse.session import get_spark
@@ -124,6 +128,13 @@ def main() -> int:
 
             n = delete_by_path(spark, args.index, args.repo, args.path)
             print(json.dumps(dict(deleted=n)))
+        elif args.cmd == "update":
+            from lse.maintenance import apply_incremental
+
+            res = apply_incremental(
+                spark, args.index, load_source(spark, args.source)
+            )
+            print(json.dumps(res))
     finally:
         spark.stop()
     return 0

@@ -89,3 +89,72 @@ def test_delete_by_path(spark, built):
     assert n == 1
     engine = SearchEngine(spark, built)
     assert int(engine.tomb_ids[0]) == row["doc_id"]
+
+
+def make_source_v2():
+    import pandas as pd
+
+    pdf = make_repos_pdf(60)
+    pdf.loc[3, "content"] = "java streaming incremental reindex test content"
+    pdf2 = pdf.drop(index=7).reset_index(drop=True)
+    row = pdf.iloc[5].copy()
+    row["path"] = "src/new/brandnew.py"
+    row["content"] = "java programming brand new delta document"
+    return pd.concat([pdf2, row.to_frame().T], ignore_index=True)
+
+
+def test_apply_incremental_matches_oracle(spark, built):
+    from lse.maintenance import apply_incremental
+
+    pdf2 = make_source_v2()
+    res = apply_incremental(
+        spark, built, spark.createDataFrame(pdf2), index_partitions=2
+    )
+    assert res["ops"] == {"ADD": 1, "UPDATE": 1, "DELETE": 1}
+    assert res["tombstoned"] == 2 and res["delta_docs"] == 2
+
+    engine = SearchEngine(spark, built)
+    assert engine.multi_segment
+    oracle = OracleIndex(
+        spark.createDataFrame(pdf2)
+        .withColumn("doc_id", F.monotonically_increasing_id())
+        .toPandas()
+        .assign(size_bytes=lambda d: d["content"].str.len())
+    )
+    # doc ids differ between engine and this oracle, so compare rank-ordered
+    # SCORES and totals (ids are engine-internal); plus engine self-consistency
+    for q in ["java", "java AND programming", "config*", '"distributed system"',
+              "java OR python", "-java"]:
+        got, got_total = engine.search_result(q, 10)
+        want, want_total = oracle.search(q, 10)
+        assert got_total == want_total, q
+        for (gd, gs), (_, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, abs=1e-9), (q, gd)
+        got_sp, total_sp = engine.search_result(q, 10, mode="spark")
+        assert total_sp == got_total and [
+            round(s, 9) for _, s in got_sp
+        ] == [round(s, 9) for _, s in got], q
+
+    # the new delta-only content is findable
+    hits, total = engine.search_result("brand AND delta", 10)
+    assert total == 1
+
+    # second increment on top of the first: delete the brand-new doc again
+    pdf3 = pdf2[pdf2["path"] != "src/new/brandnew.py"].reset_index(drop=True)
+    res2 = apply_incremental(
+        spark, built, spark.createDataFrame(pdf3), index_partitions=2
+    )
+    assert res2["ops"] == {"DELETE": 1}
+    engine2 = SearchEngine(spark, built)
+    assert engine2.search_result("brand AND delta", 10)[1] == 0
+    oracle3 = OracleIndex(
+        spark.createDataFrame(pdf3)
+        .withColumn("doc_id", F.monotonically_increasing_id())
+        .toPandas()
+        .assign(size_bytes=lambda d: d["content"].str.len())
+    )
+    got, got_total = engine2.search_result("java", 10)
+    want, want_total = oracle3.search("java", 10)
+    assert got_total == want_total
+    for (gd, gs), (_, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, abs=1e-9)
