@@ -80,9 +80,12 @@ def _docs_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+INDEX_FORMAT_VERSION = 2  # bump when the on-disk layout changes
+
+
 def _index_dir(sf_dir: str) -> str:
     safe = sf_dir.strip("/").replace("/", "_")
-    return os.path.join("/tmp/lse_entry_idx", safe)
+    return os.path.join(f"/tmp/lse_entry_idx_v{INDEX_FORMAT_VERSION}", safe)
 
 
 def _engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
