@@ -73,7 +73,13 @@ def assign_doc_ids(
             offsets[pid] = acc
             acc += counts.get(pid, 0)
 
-        schema = ordered.schema.add("doc_id", "long")
+        from pyspark.sql import types as T
+
+        # build a FRESH StructType — StructType.add mutates in place, which
+        # would also rewrite the schema object the source plan references
+        schema = T.StructType(
+            list(ordered.schema.fields) + [T.StructField("doc_id", T.LongType())]
+        )
 
         def add_ids(batches: Iterable[pd.DataFrame]):
             pid = TaskContext.get().partitionId()
