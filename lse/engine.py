@@ -411,6 +411,58 @@ class SearchEngine:
         finally:
             scores.unpersist()
 
+    def search_with_snippets(
+        self, query: str, limit: int = 10
+    ) -> Tuple[List[dict], int]:
+        """Full SearchHit parity (query/QueryEngine.java:90-97): top-k hits
+        with metadata + highlighted snippets. Content comes from the docs
+        snapshot when the build stored it (store_content=True); snippets are
+        generated only for the k result rows — never in the scoring path."""
+        from . import snippets as sn
+
+        hits, total = self.search_result(query, limit)
+        if not hits:
+            return [], total
+        terms = querydsl.extract_query_terms(
+            querydsl.parse(query).ast
+        )
+        ids = [d for d, _ in hits]
+        meta_rows = {
+            r["doc_id"]: r.asDict()
+            for r in self.doc_stats.filter(F.col("doc_id").isin(ids)).collect()
+        }
+        contents: dict = {}
+        docs_dir = os.path.join(self.segments[0], "docs")
+        docs = self.spark.read.parquet(docs_dir)
+        if "content" in docs.columns:
+            for seg in self.segments:
+                seg_docs = self.spark.read.parquet(os.path.join(seg, "docs"))
+                if "content" in seg_docs.columns:
+                    for r in (
+                        seg_docs.filter(F.col("doc_id").isin(ids))
+                        .select("doc_id", "content")
+                        .collect()
+                    ):
+                        contents[r["doc_id"]] = r["content"]
+        out = []
+        for doc_id, score in hits:
+            m = meta_rows.get(doc_id, {})
+            content = contents.get(doc_id, "")
+            out.append(
+                dict(
+                    doc_id=doc_id,
+                    score=score,
+                    repo=m.get("repo"),
+                    path=m.get("path"),
+                    lang=m.get("lang"),
+                    snippets=[
+                        dict(text=s.text, line_number=s.line_number, offset=s.offset)
+                        for s in sn.generate(content, terms)
+                    ],
+                )
+            )
+        return out, total
+
     # --------------------------------------------------------- WAND fast path
     def wand_terms(self, node: Node, op: str = "OR") -> Optional[List[str]]:
         """Terms (WITH multiplicity — a repeated term scores twice, matching

@@ -88,3 +88,21 @@ def test_wand_or_duplicate_term_multiplicity(engine_and_oracle):
     assert [d for d, _ in got] == [d for d, _ in want]
     for (gd, gs), (_, ws) in zip(got, want):
         assert gs == pytest.approx(ws, abs=1e-9)
+
+
+def test_search_with_snippets(engine_and_oracle):
+    engine, _ = engine_and_oracle
+    hits, total = engine.search_with_snippets("java AND programming", 5)
+    assert total >= 1 and hits
+    top = hits[0]
+    assert top["path"] and top["lang"]
+    assert top["snippets"], "content is stored in the fixture index"
+    joined = " ".join(s["text"].lower() for s in top["snippets"])
+    assert "java" in joined or "programming" in joined
+    assert all(s["line_number"] >= 1 for s in top["snippets"])
+
+
+def test_search_with_snippets_miss(engine_and_oracle):
+    engine, _ = engine_and_oracle
+    hits, total = engine.search_with_snippets("zzzmissingterm", 5)
+    assert hits == [] and total == 0
