@@ -380,10 +380,15 @@ def build_index(
 
     # ------------------------------------------------------ stage: postings
     if not committed("postings"):
+        # block maxima MUST be encoded with the same avgdl the engine scores
+        # with (engine floors avgdl at 1.0, QueryEngine.java:66-67); encoding
+        # with an unfloored 0<avgdl<1 would understate the bound and let WAND
+        # prune blocks containing true top-k docs
+        score_avgdl = max(float(stats["avgdl"]), 1.0)
         enc = (
             term_doc.select("term", "bucket", "doc_id", "tf", "dl")
             .groupBy("term", "bucket")
-            .applyInPandas(_encode_groups(stats["avgdl"]), POSTINGS_SCHEMA)
+            .applyInPandas(_encode_groups(score_avgdl), POSTINGS_SCHEMA)
         )
         df_global = enc.groupBy("term").agg(F.sum("df_shard").alias("df"))
         postings = enc.join(df_global, "term")

@@ -82,15 +82,19 @@ def ngram_jaccard_pairs(
     Inverted-index join: only docs sharing a (non-stop) shingle pair up.
     ``max_shingle_df`` drops shingles shared by too many docs — they add
     O(df²) candidate pairs while implying near-zero Jaccard information.
+    When the cap binds, the returned value is the Jaccard over the RARE
+    shingle universe: intersections AND set sizes are both computed after
+    the stop-shingle filter, so the approximation is self-consistent
+    (inter ≤ sizes always; no silent underestimation from mixing universes).
     """
     sh = token_ngrams(df, col, n).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     rare = (
         sh.groupBy("shingle").agg(F.count("*").alias("sdf"))
         .filter(F.col("sdf") <= max_shingle_df)
         .select("shingle")
     )
     shr = sh.join(rare, "shingle")
+    sizes = shr.groupBy("doc_id").agg(F.count("*").alias("sz"))
     pairs = (
         shr.alias("a")
         .join(shr.alias("b"), "shingle")

@@ -299,7 +299,12 @@ class SearchEngine:
         return self._empty()
 
     def _compile_phrase(self, terms: List[str]) -> DataFrame:
-        terms = [t.lower() for t in terms if t and t.strip()]
+        # any blank phrase term ⇒ no match at all (reference
+        # matchesPhraseInDoc returns false on a blank term; the local/oracle
+        # tiers agree) — do NOT just drop blanks and evaluate the rest
+        if any(not (t and t.strip()) for t in terms):
+            return self._empty()
+        terms = [t.lower() for t in terms]
         if not terms or self.positions is None:
             return self._empty()
         # adjacency chain: term_i must appear at pos0 + i (QueryEngine.java:309-341)

@@ -55,7 +55,19 @@ def _all_docs(spark: SparkSession, index_dir: str) -> DataFrame:
 
 def index_status(spark: SparkSession, index_dir: str) -> dict:
     stats = spark.read.parquet(os.path.join(index_dir, "stats")).first().asDict()
-    post = spark.read.parquet(os.path.join(index_dir, "postings"))
+    # aggregate across ALL segments (base + incremental deltas) — a
+    # base-only count under-reports the logical corpus after any increment
+    segs = _segments(index_dir)
+    post = spark.read.parquet(os.path.join(segs[0], "postings"))
+    doc_count = 0
+    for s in segs:
+        seg_stats = spark.read.parquet(os.path.join(s, "stats")).first()
+        doc_count += int(seg_stats["n_docs"])
+        if s != segs[0]:
+            post = post.unionByName(
+                spark.read.parquet(os.path.join(s, "postings")),
+                allowMissingColumns=True,
+            )
     agg = post.agg(
         F.countDistinct("term").alias("term_count"),
         F.count("*").alias("posting_rows"),
@@ -70,8 +82,8 @@ def index_status(spark: SparkSession, index_dir: str) -> dict:
         spark.read.parquet(tomb_dir).count() if os.path.exists(tomb_dir) else 0
     )
     return dict(
-        doc_count=int(stats["n_docs"]),
-        live_doc_count=int(stats["n_docs"]) - n_tomb,
+        doc_count=doc_count,
+        live_doc_count=doc_count - n_tomb,
         tombstones=n_tomb,
         term_count=int(agg["term_count"]),
         posting_rows=int(agg["posting_rows"]),

@@ -54,7 +54,6 @@ _CJK_PATTERN = (
 _CJK_RE = re.compile(f"[{_CJK_PATTERN}]")
 _CJK_RUN_RE = re.compile(f"[{_CJK_PATTERN}]+")
 _WORD_RE = re.compile(r"[a-zA-Z0-9]+")
-_WORD_LOWER_RE = re.compile(r"[a-z0-9]+")
 
 
 class Token(NamedTuple):
@@ -118,13 +117,21 @@ def tokenize_batch(
     """
     texts = texts.fillna("")
     has_cjk = texts.str.contains(_CJK_RUN_RE, regex=True)
-    lowered = texts.str.lower()
-    raw = lowered.str.findall(_WORD_LOWER_RE)
+    # Extract on the ORIGINAL text ([a-zA-Z0-9]+, like the scalar path /
+    # EnglishTokenizer), THEN lowercase each token. Lowercasing first would
+    # merge tokens around characters whose lowercase maps into ASCII (e.g.
+    # U+212A KELVIN SIGN → 'k'): 'aKb' must stay 'a','b' (dropped), not 'akb'.
+    raw = texts.str.findall(_WORD_RE)
 
     stop = STOPWORDS if enable_stopwords else frozenset()
 
     def _filter(tokens: list) -> list:
-        return [t for t in tokens if len(t) > 1 and t not in stop]
+        out = []
+        for t in tokens:
+            t = t.lower()
+            if len(t) > 1 and t not in stop:
+                out.append(t)
+        return out
 
     result = raw.map(_filter)
     if has_cjk.any():
