@@ -66,21 +66,43 @@ scored AS (
 
 
 # -------------------------------------------------------------- Spark engine
+# documents.lang holds natural-language tags (en/de/zh/es/fr); the engine's
+# corpus is source code where `lang` plays the file-extension role, so map
+# deterministically onto extensions that span the DocType taxonomy — this
+# makes type:/ext: queries discriminating instead of all-OTHER.
+_LANG_TO_EXT = {"en": "md", "de": "java", "zh": "txt", "es": "py", "fr": "yaml"}
+_LANG_CASE_SQL = (
+    "CASE lang "
+    + " ".join(f"WHEN '{k}' THEN '{v}'" for k, v in _LANG_TO_EXT.items())
+    + " ELSE lang END"
+)
+# deterministic synthetic mtime — the documents table has no timestamp, so
+# derive one (same expression transcribed in the DuckDB oracles)
+_MTIME_SQL_DUCK = "TIMESTAMP '2024-01-01 00:00:00' + INTERVAL 1 DAY * (doc_id % 365)"
+
+
 def _docs_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    lang_expr = F.col("lang")
+    for k, v in _LANG_TO_EXT.items():
+        lang_expr = F.when(F.col("lang") == k, v).otherwise(lang_expr)
     return d.select(
         "doc_id",
         F.col("text").alias("content"),
-        "lang",
+        lang_expr.alias("lang"),
         F.col("source").alias("repo"),
         F.concat(
             F.col("source"), F.lit("/doc_"), F.col("doc_id").cast("string"), F.lit(".txt")
         ).alias("path"),
         F.lit("").alias("commit"),
+        F.expr(
+            "timestampadd(DAY, CAST(doc_id % 365 AS INT), "
+            "TIMESTAMP '2024-01-01 00:00:00')"
+        ).alias("mtime"),
     )
 
 
-INDEX_FORMAT_VERSION = 2  # bump when the on-disk layout changes
+INDEX_FORMAT_VERSION = 3  # bump when the on-disk layout changes
 
 
 def _index_dir(sf_dir: str) -> str:
@@ -114,6 +136,12 @@ def _searched(spark, sf_dir, query, limit=None) -> DataFrame:
 
     scores = eng.compile(querydsl.parse(query).ast)
     return scores
+
+
+# deterministic CJK fixtures for the cjk_tokenize_tf entry (transcribed in
+# the DuckDB oracle; mixed-script tokens hand-transcribed there)
+_CJK_CASES = ["中文搜索引擎全文检索", "分散処理システム設計", "한국어검색엔진테스트"]
+_CJK_MIXED = "hello世界spark引擎demo"
 
 
 # ------------------------------------------------------------------- queries
@@ -177,12 +205,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_sort_size_topk(spark, sf):
         return _engine(spark, sf).search("spark sort:size", 10).select("doc_id")
 
+    # field / range / rewrite coverage (reference P1-P6, Q7, Q8, Q12)
+    def q_mtime_range(spark, sf):
+        return _searched(
+            spark, sf,
+            'mtime:"2024-02-01T00:00:00Z".."2024-04-01T00:00:00Z"',
+        )
+
+    def q_field_lang(spark, sf):
+        return _searched(spark, sf, "ext:yaml")
+
+    def q_field_path(spark, sf):
+        return _searched(spark, sf, "path:src3/")
+
+    def q_field_filename(spark, sf):
+        # bare "doc_42.txt" exercises the direct-filename rewrite
+        # (QueryEngine.java:103-127) inside querydsl.parse
+        return _searched(spark, sf, "doc_42.txt")
+
+    def q_field_type(spark, sf):
+        return _searched(spark, sf, "type:code")
+
+    def q_phrase3(spark, sf):
+        return _r6(_searched(spark, sf, '"agg hash window"'))
+
+    def q_cjk_tokenize_tf(spark, sf):
+        # deterministic CJK content (the corpus itself is ASCII): three
+        # pure-CJK strings + one mixed-script string, run through the REAL
+        # composite/bigram tokenizer (BigramTokenizer.java:12-62)
+        d = spark.read.parquet(os.path.join(sf, "documents.parquet")).filter(
+            F.col("doc_id") < 64
+        )
+        content = (
+            F.when(F.col("doc_id") % 4 == 0, _CJK_CASES[0])
+            .when(F.col("doc_id") % 4 == 1, _CJK_CASES[1])
+            .when(F.col("doc_id") % 4 == 2, _CJK_CASES[2])
+            .otherwise(F.lit(_CJK_MIXED))
+        )
+        src = d.select("doc_id", content.alias("content"))
+        td = tokenize_to_term_doc(src, with_positions=False)
+        return td.select("doc_id", "term", F.col("tf").cast("long").alias("tf"))
+
     def q_dedup_exact(spark, sf):
-        d = spark.read.parquet(os.path.join(sf, "documents.parquet"))
-        return (
-            d.groupBy(F.sha2(F.col("text"), 256).alias("content_sha"))
-            .agg(F.count("*").alias("n"))
-            .filter(F.col("n") > 1)
+        # plant exact duplicates (copy of the doc_id<20 slice) so the entry
+        # discriminates — the raw corpus has no duplicate texts
+        from lse.dedup import exact_dups
+
+        d = spark.read.parquet(os.path.join(sf, "documents.parquet")).select(
+            "doc_id", "text"
+        )
+        dup = d.filter(F.col("doc_id") < 20).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+        return exact_dups(d.unionByName(dup), col="text").select(
+            "content_sha", "n"
         )
 
     def q_ann_cosine_topk(spark, sf):
@@ -316,6 +392,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "size_range": q_size_range,
         "count_matches": q_count_matches,
         "sort_size_topk": q_sort_size_topk,
+        "mtime_range": q_mtime_range,
+        "field_lang": q_field_lang,
+        "field_path": q_field_path,
+        "field_filename": q_field_filename,
+        "field_type": q_field_type,
+        "phrase3": q_phrase3,
+        "cjk_tokenize_tf": q_cjk_tokenize_tf,
         "dedup_exact": q_dedup_exact,
         "ann_cosine_topk": q_ann_cosine_topk,
         "text_quality": q_text_quality,
@@ -371,8 +454,63 @@ def oracle_sql() -> dict[str, str]:
         + """SELECT t.doc_id FROM tf t JOIN documents d ON d.doc_id = t.doc_id
              WHERE t.term = 'spark'
              ORDER BY d.n_chars DESC, t.doc_id ASC LIMIT 10""",
-        "dedup_exact": """SELECT sha256(text) AS content_sha, count(*) AS n
-                          FROM documents GROUP BY 1 HAVING count(*) > 1""",
+        "mtime_range": f"""
+            SELECT doc_id, 1.0::DOUBLE AS score FROM documents
+            WHERE ({_MTIME_SQL_DUCK})
+              BETWEEN TIMESTAMP '2024-02-01 00:00:00'
+                  AND TIMESTAMP '2024-04-01 00:00:00'""",
+        "field_lang": f"""
+            SELECT doc_id, 1.0::DOUBLE AS score FROM documents
+            WHERE ({_LANG_CASE_SQL}) = 'yaml'""",
+        "field_path": """
+            SELECT doc_id, 1.0::DOUBLE AS score FROM documents
+            WHERE starts_with(source || '/doc_' || doc_id || '.txt', 'src3/')""",
+        "field_filename": """
+            SELECT doc_id, 1.0::DOUBLE AS score FROM documents
+            WHERE lower(source || '/doc_' || doc_id || '.txt')
+                  LIKE '%/doc_42.txt'""",
+        "field_type": """
+            SELECT doc_id, 1.0::DOUBLE AS score FROM documents
+            WHERE lang IN ('de', 'es')""",
+        "phrase3": _TOK_CTE
+        + """, matched AS (
+               SELECT DISTINCT k1.doc_id FROM kept k1
+               JOIN kept k2 ON k1.doc_id = k2.doc_id AND k2.pos = k1.pos + 1
+               JOIN kept k3 ON k1.doc_id = k3.doc_id AND k3.pos = k1.pos + 2
+               WHERE k1.term = 'agg' AND k2.term = 'hash' AND k3.term = 'window')
+             SELECT m.doc_id, round(sum(s.score), 6) AS score
+             FROM matched m JOIN scored s ON s.doc_id = m.doc_id
+             WHERE s.term IN ('agg', 'hash', 'window') GROUP BY m.doc_id""",
+        "cjk_tokenize_tf": f"""
+            WITH src AS (
+              SELECT doc_id, doc_id % 4 AS c,
+                     CASE doc_id % 4
+                       WHEN 0 THEN '{_CJK_CASES[0]}'
+                       WHEN 1 THEN '{_CJK_CASES[1]}'
+                       WHEN 2 THEN '{_CJK_CASES[2]}'
+                     END AS s
+              FROM documents WHERE doc_id < 64
+            ),
+            idx AS (
+              SELECT doc_id, s, unnest(generate_series(1, length(s) - 1)) AS i
+              FROM src WHERE c < 3
+            ),
+            pure AS (SELECT doc_id, substring(s, i, 2) AS term FROM idx),
+            mixed AS (
+              SELECT doc_id, v.term
+              FROM src, (VALUES ('hello'), ('世界'), ('spark'),
+                                ('引擎'), ('demo')) AS v(term)
+              WHERE c = 3
+            ),
+            allt AS (SELECT * FROM pure UNION ALL SELECT * FROM mixed)
+            SELECT doc_id, term, count(*) AS tf FROM allt GROUP BY 1, 2""",
+        "dedup_exact": """
+            WITH u AS (
+              SELECT text FROM documents
+              UNION ALL SELECT text FROM documents WHERE doc_id < 20
+            )
+            SELECT sha256(text) AS content_sha, count(*) AS n
+            FROM u GROUP BY 1 HAVING count(*) > 1""",
         "ann_cosine_topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = 0)
             SELECT vec_id,

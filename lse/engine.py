@@ -168,23 +168,27 @@ class SearchEngine:
         # (QueryEngine.java:435-443) where deletes update the DocumentTable
         tomb_dir = os.path.join(index_dir, "tombstones")
         if os.path.exists(tomb_dir):
-            tombs = spark.read.parquet(tomb_dir).select("doc_id").distinct()
+            self.tombs_df = spark.read.parquet(tomb_dir).select("doc_id").distinct()
             self.tomb_ids = np.sort(
-                np.array([r["doc_id"] for r in tombs.collect()], dtype=np.int64)
+                np.array([r["doc_id"] for r in self.tombs_df.collect()], dtype=np.int64)
             )
         else:
+            self.tombs_df = None
             self.tomb_ids = np.empty(0, dtype=np.int64)
+        # one executor-side copy of the tombstone set for numpy kernels —
+        # never a per-plan literal list, never re-pickled per closure
+        self._tomb_bc = spark.sparkContext.broadcast(self.tomb_ids)
         n_docs = int(self.stats["n_docs"])
         total_tokens = int(self.stats.get("total_tokens") or 0)
         if self.tomb_ids.size:
-            dead = self.doc_stats.filter(
-                F.col("doc_id").isin([int(x) for x in self.tomb_ids])
+            dead = self.doc_stats.join(
+                F.broadcast(self.tombs_df), "doc_id", "left_semi"
             ).agg(F.count("*"), F.sum("token_count")).first()
             n_dead, dead_tokens = int(dead[0]), int(dead[1] or 0)
             n_docs -= n_dead
             total_tokens -= dead_tokens
             self.doc_stats = self.doc_stats.join(
-                F.broadcast(tombs), "doc_id", "left_anti"
+                F.broadcast(self.tombs_df), "doc_id", "left_anti"
             )
             self.N = max(n_docs, 1)
             self.avgdl = max(
@@ -229,11 +233,11 @@ class SearchEngine:
 
             # drop dead postings, then df must be the LIVE GLOBAL document
             # frequency across segments (the reference recomputes global df
-            # over live docs per query, QueryEngine.java:445-463)
+            # over live docs per query, QueryEngine.java:445-463). Tombstones
+            # join as a BROADCAST anti-join — a literal isin list would bloat
+            # the plan (and break it) for large delete sets
             if self.tomb_ids.size:
-                out = out.filter(
-                    ~F.col("doc_id").isin([int(x) for x in self.tomb_ids])
-                )
+                out = out.join(F.broadcast(self.tombs_df), "doc_id", "left_anti")
             out = out.withColumn("df", F.count("*").over(Window.partitionBy("term")))
         return out
 
@@ -307,25 +311,33 @@ class SearchEngine:
         terms = [t.lower() for t in terms]
         if not terms or self.positions is None:
             return self._empty()
-        # adjacency chain: term_i must appear at pos0 + i (QueryEngine.java:309-341)
+        # bucket-parallel adjacency kernel (QueryEngine.java:309-341
+        # semantics): buckets are doc-ranges aligned across terms by
+        # construction, so each bucket's phrase matches are independent —
+        # one shuffle of the query terms' position blobs, then pure numpy
+        # (lse.phrase.match_phrase) inside each group. Replaces both the
+        # old join-per-term chain (a shuffle per phrase term) and any
+        # driver-side per-doc loop.
         pos = self.positions.filter(F.col("term").isin(list(set(terms))))
-        exploded = pos.select("term", "n_docs", "payload").mapInPandas(
-            _decode_pos_rows, _POS_ROWS_SCHEMA
-        )
-        if self.tomb_ids.size:
-            exploded = exploded.filter(
-                ~F.col("doc_id").isin([int(x) for x in self.tomb_ids])
-            )
-        chain = (
-            exploded.filter(F.col("term") == terms[0])
-            .select("doc_id", F.col("pos").alias("p0"))
-        )
-        for i, t in enumerate(terms[1:], start=1):
-            nxt = exploded.filter(F.col("term") == t).select(
-                "doc_id", (F.col("pos") - i).alias("p0")
-            )
-            chain = chain.join(nxt, ["doc_id", "p0"], "inner")
-        matched = chain.select("doc_id").distinct()
+        terms_local = list(terms)
+        tomb_bc = self._tomb_bc
+
+        def bucket_match(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            from .codec import decode_positions_blob
+            from .phrase import filter_tombstones, match_phrase, merge_shards
+
+            shards: dict = {}
+            for r in pdf.itertuples(index=False):
+                ids, plists = decode_positions_blob(bytes(r.payload), int(r.n_docs))
+                shards.setdefault(r.term, []).append((ids, plists))
+            per_term = {
+                t: filter_tombstones(merge_shards(s), tomb_bc.value)
+                for t, s in shards.items()
+            }
+            matched_ids = match_phrase(terms_local, per_term)
+            return pd.DataFrame({"doc_id": pd.Series(matched_ids, dtype="int64")})
+
+        matched = pos.groupBy("bucket").applyInPandas(bucket_match, "doc_id long")
         # score = Σ member-term BM25 (duplicates in the term list add twice)
         scored = self._scored_terms(terms)
         per_occurrence = [
