@@ -373,7 +373,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             for x in e.filter(F.col("vec_id") == 0).first()["embedding"]
         ]
         sig = hyperplane_signature(e, planes=6)
-        return cosine_topk_lsh(sig, qv, k=10, planes=6).select(
+        # query-directed multiprobe (Lv et al. VLDB'07): 16 of 64 buckets
+        return cosine_topk_lsh(sig, qv, k=10, planes=6, probes=16).select(
             "vec_id", F.round("cos", 4).alias("cos")
         )
 

@@ -33,6 +33,8 @@ BENCH_QUERIES = {
     "size_range": "size:100..300",
     "sort_directive": "spark sort:size",
     "multi_or_wand": "spark OR query OR join OR merge",
+    "phrase3": '"agg hash window"',
+    "filtered_term": "repo:src3 AND spark",
 }
 
 
@@ -80,6 +82,7 @@ def main() -> None:
         build_sec = time.perf_counter() - t0
 
         engine = SearchEngine(spark, index_dir)
+        engine.warm()  # pin postings/positions on executors (serving mode)
         engine.search_result("warmup", 10)  # JIT/scan/metadata warmup
 
         # reference JMH protocol: warmup iterations then averaged measured

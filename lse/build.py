@@ -417,7 +417,7 @@ def build_index(
         post = spark.read.parquet(_stage_dir(index_dir, "postings"))
         lineage = (
             post.select(
-                F.input_file_name().alias("file"),
+                _norm_file(F.input_file_name()).alias("file"),
                 "term",
                 "bucket",
                 "df_shard",
@@ -436,6 +436,11 @@ def build_index(
             .withColumn("build_id", F.lit(build_id))
             .withColumn("stage", F.lit("postings"))
         )
+        # per-file sha256 over the raw bytes — the Spark-native analog of
+        # the reference's CRC32 footer on every index file
+        # (storage/StorageFileUtil.java:86-114): a distributed binaryFile
+        # scan, no driver-side hashing
+        lineage = lineage.join(_file_shas(spark, index_dir), "file", "left")
         lineage.coalesce(1).write.mode("overwrite").parquet(
             _stage_dir(index_dir, "manifest")
         )
@@ -460,6 +465,85 @@ def build_index(
         stages_run=ran,
         stages_skipped=skipped,
     )
+
+
+def _norm_file(col):
+    """Strip the URI scheme so input_file_name() and binaryFile paths agree."""
+    return F.regexp_replace(col, "^file:/*", "/")
+
+
+def _file_shas(spark: SparkSession, index_dir: str) -> DataFrame:
+    """(file, file_sha256, file_bytes) for every postings parquet file —
+    computed ON EXECUTORS via the binaryFile source."""
+    return (
+        spark.read.format("binaryFile")
+        .load(os.path.join(_stage_dir(index_dir, "postings"), "*.parquet"))
+        .select(
+            _norm_file(F.col("path")).alias("file"),
+            F.sha2(F.col("content"), 256).alias("file_sha256"),
+            F.col("length").alias("file_bytes"),
+        )
+    )
+
+
+def verify_index(spark: SparkSession, index_dir: str) -> List[dict]:
+    """Integrity check on load (reference: magic/version/CRC verified by
+    every reader, storage/StorageFileUtil.java:101-114): recompute each
+    postings file's sha256 and compare with the manifest. Returns a list of
+    problem dicts (empty == intact): corrupted, missing, or unknown files.
+
+    Hashing happens on EXECUTORS (Arrow batches of file PATHS, one raw read
+    per file) rather than through the binaryFile source: a verifier must
+    survive undecodable bytes, but Hadoop's LocalFileSystem throws a
+    ChecksumException from its .crc sidecars before binaryFile can even
+    return the corrupt payload."""
+    import glob
+    import hashlib
+
+    manifest = {
+        r["file"]: r["file_sha256"]
+        for r in spark.read.parquet(_stage_dir(index_dir, "manifest"))
+        .select("file", "file_sha256")
+        .collect()
+    }
+    current = sorted(
+        os.path.abspath(p)
+        for p in glob.glob(
+            os.path.join(_stage_dir(index_dir, "postings"), "*.parquet")
+        )
+    )
+    all_files = sorted(set(manifest) | set(current))
+    if not all_files:
+        return []
+
+    def sha_batch(batches: Iterable[pd.DataFrame]):
+        for b in batches:
+            shas = []
+            for p in b["file"]:
+                try:
+                    with open(p, "rb") as fh:
+                        shas.append(hashlib.sha256(fh.read()).hexdigest())
+                except OSError:
+                    shas.append(None)
+            yield pd.DataFrame({"file": b["file"], "actual_sha": shas})
+
+    actual = {
+        r["file"]: r["actual_sha"]
+        for r in spark.createDataFrame(pd.DataFrame({"file": all_files}))
+        .repartition(min(len(all_files), 32))
+        .mapInPandas(sha_batch, "file string, actual_sha string")
+        .collect()
+    }
+    problems = []
+    for f in all_files:
+        expected, got = manifest.get(f), actual.get(f)
+        if expected is None:
+            problems.append(dict(file=f, problem="not_in_manifest"))
+        elif got is None:
+            problems.append(dict(file=f, problem="missing"))
+        elif expected != got:
+            problems.append(dict(file=f, problem="corrupted"))
+    return problems
 
 
 def verify_content_sha(spark: SparkSession, source: DataFrame, index_dir: str) -> int:

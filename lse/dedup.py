@@ -221,8 +221,11 @@ def minhash_candidate_pairs(
 def simhash64(df: DataFrame, col: str = "content") -> DataFrame:
     """(doc_id, simhash long): sign of tf-weighted sums of 64 term-hash bits.
 
-    Term hashing is blake2b-based (process-stable); the bit accumulation is
-    numpy over one Arrow batch."""
+    Fully vectorized inside each Arrow batch: terms are hashed ONCE per
+    unique term (blake2b, process-stable — cached across batches), the
+    ±1-bit matrix is expanded with one shift-and-mask broadcast, and the
+    per-doc accumulation is a single ``np.add.at`` scatter over
+    (doc_index, 64) — no per-token Python."""
     import hashlib
 
     schema = T.StructType(
@@ -234,30 +237,53 @@ def simhash64(df: DataFrame, col: str = "content") -> DataFrame:
 
     from .tokenizer import tokenize_batch
 
-    def term_bits(term: str) -> np.ndarray:
-        h = int.from_bytes(hashlib.blake2b(term.encode(), digest_size=8).digest(), "big")
-        return np.array([(h >> i) & 1 for i in range(64)], dtype=np.int64) * 2 - 1
+    _POWERS = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+    _SHIFTS = np.arange(64, dtype=np.uint64)
 
     def run(batches: Iterable[pd.DataFrame]):
-        cache: dict = {}
+        hash_cache: dict = {}
         for pdf in batches:
             token_lists = tokenize_batch(pdf[col])
-            out_id, out_h = [], []
-            for doc_id, terms in zip(pdf["doc_id"], token_lists):
-                acc = np.zeros(64, dtype=np.int64)
-                for t in terms:
-                    bits = cache.get(t)
-                    if bits is None:
-                        cache[t] = bits = term_bits(t)
-                    acc += bits
-                h = 0
-                for i in range(64):
-                    if acc[i] > 0:
-                        h |= 1 << i
-                # to signed int64
-                out_id.append(doc_id)
-                out_h.append(h - (1 << 64) if h >= (1 << 63) else h)
-            yield pd.DataFrame({"doc_id": out_id, "simhash": out_h})
+            n_docs = len(pdf)
+            counts = np.fromiter(
+                (len(t) for t in token_lists), dtype=np.int64, count=n_docs
+            )
+            total = int(counts.sum())
+            if total == 0:
+                yield pd.DataFrame(
+                    {"doc_id": pdf["doc_id"], "simhash": np.zeros(n_docs, np.int64)}
+                )
+                continue
+            flat = np.empty(total, dtype=object)
+            o = 0
+            for toks in token_lists:
+                flat[o : o + len(toks)] = toks
+                o += len(toks)
+            uniq, inv = np.unique(flat, return_inverse=True)
+            hashes = np.empty(uniq.size, dtype=np.uint64)
+            for i, t in enumerate(uniq):  # once per UNIQUE term, cached
+                h = hash_cache.get(t)
+                if h is None:
+                    h = int.from_bytes(
+                        hashlib.blake2b(t.encode(), digest_size=8).digest(), "big"
+                    )
+                    hash_cache[t] = h
+                hashes[i] = h
+            # (U, 64) ±1 bit matrix, then scatter-add per doc
+            bits = (
+                ((hashes[:, None] >> _SHIFTS[None, :]) & np.uint64(1)).astype(
+                    np.int64
+                )
+                * 2
+                - 1
+            )
+            doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+            acc = np.zeros((n_docs, 64), dtype=np.int64)
+            np.add.at(acc, doc_idx, bits[inv])
+            packed = ((acc > 0).astype(np.uint64) * _POWERS[None, :]).sum(axis=1)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "simhash": packed.view(np.int64)}
+            )
 
     return df.select("doc_id", col).mapInPandas(run, schema)
 

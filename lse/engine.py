@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from . import querydsl
-from .codec import decode_positions_blob, decode_postings
+from .codec import decode_postings
 from .constants import BM25_B, BM25_K1, MAX_SEARCH_LIMIT
 from .querydsl import Bool, Field, Node, Not, Phrase, Prefix, Range, Term
 from .wand import TermCursor, wand_topk, wand_topk_and
@@ -60,40 +60,15 @@ _TOPK_SCHEMA = T.StructType(
     ]
 )
 
-
-_POS_ROWS_SCHEMA = T.StructType(
+# bucket-serving kernel output: kind 0 = a top-k row, kind 1 = the bucket's
+# exact match count (doc_id carries the count)
+_SERVE_SCHEMA = T.StructType(
     [
-        T.StructField("term", T.StringType()),
+        T.StructField("kind", T.IntegerType()),
         T.StructField("doc_id", T.LongType()),
-        T.StructField("pos", T.IntegerType()),
+        T.StructField("score", T.DoubleType()),
     ]
 )
-
-
-def _decode_pos_rows(batches: Iterable[pd.DataFrame]):
-    for pdf in batches:
-        outs = []
-        for term, n, payload in zip(pdf["term"], pdf["n_docs"], pdf["payload"]):
-            ids, plists = decode_positions_blob(bytes(payload), int(n))
-            counts = np.fromiter((len(p) for p in plists), dtype=np.int64,
-                                 count=len(plists))
-            outs.append(
-                pd.DataFrame(
-                    {
-                        "term": term,
-                        "doc_id": np.repeat(ids, counts),
-                        "pos": (
-                            np.concatenate(plists) if counts.sum() else
-                            np.empty(0, dtype=np.int64)
-                        ).astype("int32"),
-                    }
-                )
-            )
-        yield pd.concat(outs) if outs else pd.DataFrame(
-            {"term": pd.Series(dtype="object"),
-             "doc_id": pd.Series(dtype="int64"),
-             "pos": pd.Series(dtype="int32")}
-        )
 
 
 def _decode_rows(batches: Iterable[pd.DataFrame]):
@@ -207,6 +182,26 @@ class SearchEngine:
 
             self._local = LocalExecutor(self)
         return self._local
+
+    def warm(self) -> "SearchEngine":
+        """Pin the query-facing tables on the executors (MEMORY_AND_DISK)
+        and materialize them — the serving analog of the reference keeping
+        its segments open in-process (QueryEngine.java:211-242). Distributed
+        queries then skip the parquet scan entirely; only the per-bucket
+        kernel + fold remain. Also primes the local tier's routing
+        dictionary so `can_execute` never pays a lazy first-query job."""
+        from pyspark import StorageLevel
+
+        self.postings = self.postings.persist(StorageLevel.MEMORY_AND_DISK)
+        self.postings.count()
+        if self.positions is not None:
+            self.positions = self.positions.persist(StorageLevel.MEMORY_AND_DISK)
+            self.positions.count()
+        self.doc_stats = self.doc_stats.persist(StorageLevel.MEMORY_AND_DISK)
+        self.doc_stats.count()
+        self.local._load_dictionary()
+        self.local._load_pos_dictionary()
+        return self
 
     # ------------------------------------------------------------ utilities
     def _empty(self) -> DataFrame:
@@ -413,13 +408,26 @@ class SearchEngine:
     ) -> Tuple[List[Tuple[int, float]], int]:
         """(top-k [(doc_id, score)], totalMatches) — SearchResult parity.
 
-        mode: 'auto' serves from the local tier when the plan fits it
-        (one term-pruned scan + numpy), else the distributed plan;
-        'local' / 'spark' force a tier.
+        Tier routing ('auto'):
+        1. local numpy tier when the driver-side collect fits its byte
+           budgets (LocalExecutor.can_execute);
+        2. distributed bucket tier for term-tree queries (w/ or w/o
+           metadata filters) — per-bucket decode+score+count on executors;
+        3. the general DataFrame compiler for everything else.
+        'local' / 'spark' / 'bucket' force a tier ('spark' = compiler).
         """
         result = querydsl.parse(query)
+        if mode == "bucket":
+            served = self._serve_buckets(result.ast, limit)
+            if served is None:
+                raise ValueError("query is not bucket-servable")
+            return served
         if mode != "spark" and self.local.can_execute(result.ast):
             return self.local.execute(query, limit)
+        if mode != "spark" and result.sort is None:
+            served = self._serve_buckets(result.ast, limit)
+            if served is not None:
+                return served
         scores = self.compile(result.ast).cache()
         try:
             total = scores.count()
@@ -480,6 +488,223 @@ class SearchEngine:
             )
         return out, total
 
+    # ------------------------------------------------- bucket serving tier
+    def _live_df_map(self, terms: Sequence[str]) -> Optional[Dict[str, int]]:
+        """LIVE global df per term (QueryEngine.java:445-463 recomputes df
+        over live docs per query). Returns None when the build-time ``df``
+        column is already exact (single segment, no tombstones) — the common
+        case pays NO extra job. Under deltas-only, df is a cheap sum of
+        shard dfs; only a live tombstone set forces a decode-and-count pass
+        (distributed, restricted to the query's terms). Results are cached
+        per engine instance."""
+        if not self.tomb_ids.size and not self.multi_segment:
+            return None
+        if not hasattr(self, "_live_df_cache"):
+            self._live_df_cache: Dict[str, int] = {}
+        missing = sorted(t for t in set(terms) if t not in self._live_df_cache)
+        if missing:
+            rows = self.postings.filter(F.col("term").isin(missing))
+            if not self.tomb_ids.size:
+                got = (
+                    rows.groupBy("term").agg(F.sum("df_shard").alias("df")).collect()
+                )
+            else:
+                tomb_bc = self._tomb_bc
+
+                def live_counts(batches: Iterable[pd.DataFrame]):
+                    for pdf in batches:
+                        outs = []
+                        for term, payload, df_shard in zip(
+                            pdf["term"], pdf["payload"], pdf["df_shard"]
+                        ):
+                            ids, _tfs, _dls = decode_postings(
+                                bytes(payload), int(df_shard)
+                            )
+                            n = int((~np.isin(ids, tomb_bc.value)).sum())
+                            outs.append((term, n))
+                        yield pd.DataFrame(outs, columns=["term", "live"])
+
+                got = (
+                    rows.select("term", "payload", "df_shard")
+                    .mapInPandas(live_counts, "term string, live long")
+                    .groupBy("term")
+                    .agg(F.sum("live").alias("df"))
+                    .collect()
+                )
+            found = {r["term"]: int(r["df"]) for r in got}
+            for t in missing:
+                self._live_df_cache[t] = found.get(t, 0)
+        return {t: self._live_df_cache[t] for t in set(terms)}
+
+    def _split_filtered_and(self, node: Node):
+        """Decompose an AND-tree into (metadata filter leaves, the single
+        term-bearing subtree). Returns (filters, core) or (None, None) when
+        the shape doesn't fit (then the general compiler serves it)."""
+        filters: List[Node] = []
+        cores: List[Node] = []
+
+        def walk(n: Node) -> bool:
+            if isinstance(n, Bool) and n.op == "AND":
+                return walk(n.left) and walk(n.right)
+            if isinstance(n, (Field, Range)):
+                filters.append(n)
+                return True
+            cores.append(n)
+            return True
+
+        if not walk(node) or not filters or not cores:
+            return (None, None) if not filters else (filters, None)
+        core = cores[0]
+        for c in cores[1:]:  # several term leaves ⇒ conjunctive core
+            core = Bool("AND", core, c)
+        return filters, core
+
+    def _serve_buckets(
+        self, ast: Node, limit: int
+    ) -> Optional[Tuple[List[Tuple[int, float]], int]]:
+        """Distributed exact serving for term-tree queries (optionally AND-ed
+        with metadata filters): per doc-range bucket, decode → numpy BM25 →
+        bucket top-k + exact match count; the driver folds k·B rows. Handles
+        tombstones / delta segments via the live-df map — postings and
+        positions NEVER collect to the driver. Returns None when the AST
+        shape needs the general compiler."""
+        or_terms = self.wand_terms(ast, "OR")
+        and_terms = self.wand_terms(ast, "AND")
+        filters: List[Node] = []
+        if or_terms is None and and_terms is None:
+            filters, core = self._split_filtered_and(ast)
+            if filters is None:
+                return None
+            if core is None:
+                return None  # pure metadata query — not this tier's job
+            or_terms = self.wand_terms(core, "OR")
+            and_terms = self.wand_terms(core, "AND")
+            if or_terms is None and and_terms is None:
+                return None
+        terms = or_terms if or_terms is not None else and_terms
+        conjunctive = or_terms is None
+        terms = [t for t in terms if t.strip()]
+        if not terms:
+            return None
+        filter_ids = None
+        if filters:
+            fdf = reduce(
+                lambda a, b: a.join(b, "doc_id", "inner"),
+                [self.compile(f).select("doc_id") for f in filters],
+            )
+            fpdf = fdf.limit(2_000_001).toPandas()
+            if len(fpdf) > 2_000_000:
+                return None  # filter set too large to broadcast — compile
+            if fpdf.empty:
+                return [], 0
+            filter_ids = np.sort(fpdf["doc_id"].to_numpy(dtype=np.int64))
+        bonus = float(len(filters))
+
+        multiplicity: Dict[str, int] = {}
+        for t in terms:
+            multiplicity[t] = multiplicity.get(t, 0) + 1
+        distinct = sorted(multiplicity)
+        dfmap = self._live_df_map(distinct)
+        rows = self.postings.filter(F.col("term").isin(distinct))
+        N, avgdl, k = self.N, self.avgdl, max(0, min(limit, MAX_SEARCH_LIMIT))
+        n_distinct = len(distinct)
+        tomb_bc = self._tomb_bc
+        fid = filter_ids
+
+        def kern(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            from .codec import raw_bm25_component
+
+            per_term: Dict[str, list] = {}
+            row_df: Dict[str, int] = {}
+            tomb = tomb_bc.value
+            for r in pdf.itertuples(index=False):
+                ids, tfs, dls = decode_postings(bytes(r.payload), int(r.df_shard))
+                if tomb.size:
+                    live = ~np.isin(ids, tomb)
+                    ids, tfs, dls = ids[live], tfs[live], dls[live]
+                if fid is not None:
+                    m = np.isin(ids, fid)
+                    ids, tfs, dls = ids[m], tfs[m], dls[m]
+                per_term.setdefault(r.term, []).append((ids, tfs, dls))
+                row_df[r.term] = int(r.df)
+
+            merged: Dict[str, tuple] = {}
+            for t, shards in per_term.items():
+                if len(shards) == 1:
+                    ids, tfs, dls = shards[0]
+                else:
+                    ids = np.concatenate([s[0] for s in shards])
+                    tfs = np.concatenate([s[1] for s in shards])
+                    dls = np.concatenate([s[2] for s in shards])
+                    order = np.argsort(ids, kind="stable")
+                    ids, tfs, dls = ids[order], tfs[order], dls[order]
+                if ids.size:
+                    merged[t] = (ids, tfs, dls)
+
+            def idf_of(t: str) -> float:
+                dfv = dfmap[t] if dfmap is not None else row_df[t]
+                b = min(max(dfv, 0), N)
+                return float(np.log((N - b + 0.5) / (b + 0.5) + 1.0))
+
+            empty = pd.DataFrame({"kind": pd.Series(dtype="int32"),
+                                  "doc_id": pd.Series(dtype="int64"),
+                                  "score": pd.Series(dtype="float64")})
+            if conjunctive:
+                if len(merged) < n_distinct:
+                    return empty
+                by_size = sorted(merged, key=lambda t: merged[t][0].size)
+                cand = merged[by_size[0]][0]
+                for t in by_size[1:]:
+                    cand = np.intersect1d(cand, merged[t][0], assume_unique=True)
+                    if cand.size == 0:
+                        return empty
+                score = np.zeros(cand.size)
+                for t, (ids, tfs, dls) in merged.items():
+                    pos = np.searchsorted(ids, cand)
+                    score += (
+                        multiplicity[t]
+                        * idf_of(t)
+                        * raw_bm25_component(tfs[pos], dls[pos], avgdl)
+                    )
+                out_ids, out_scores = cand, score
+            else:
+                parts_i, parts_s = [], []
+                for t, (ids, tfs, dls) in merged.items():
+                    parts_i.append(ids)
+                    parts_s.append(
+                        multiplicity[t]
+                        * idf_of(t)
+                        * raw_bm25_component(tfs, dls, avgdl)
+                    )
+                if not parts_i:
+                    return empty
+                allids = np.concatenate(parts_i)
+                allscores = np.concatenate(parts_s)
+                out_ids, inv = np.unique(allids, return_inverse=True)
+                out_scores = np.zeros(out_ids.size)
+                np.add.at(out_scores, inv, allscores)
+            order = np.lexsort((out_ids, -out_scores))[:k]
+            return pd.DataFrame(
+                {
+                    "kind": np.concatenate(
+                        [np.zeros(order.size, dtype="int32"),
+                         np.ones(1, dtype="int32")]
+                    ),
+                    "doc_id": np.concatenate(
+                        [out_ids[order], np.array([out_ids.size], dtype=np.int64)]
+                    ),
+                    "score": np.concatenate([out_scores[order], np.zeros(1)]),
+                }
+            )
+
+        coll = rows.groupBy("bucket").applyInPandas(kern, _SERVE_SCHEMA).collect()
+        total = sum(int(r["doc_id"]) for r in coll if r["kind"] == 1)
+        hits = sorted(
+            ((int(r["doc_id"]), float(r["score"])) for r in coll if r["kind"] == 0),
+            key=lambda t: (-t[1], t[0]),
+        )[:k]
+        return [(d, s + bonus) for d, s in hits], total
+
     # --------------------------------------------------------- WAND fast path
     def wand_terms(self, node: Node, op: str = "OR") -> Optional[List[str]]:
         """Terms (WITH multiplicity — a repeated term scores twice, matching
@@ -513,9 +738,13 @@ class SearchEngine:
             terms is None or not terms or result.sort is not None
             or self.tomb_ids.size or self.multi_segment
         ):
-            # tombstones / delta segments change live df — serve via the
-            # general tiers which recompute it (TODO: pass a live-df map
-            # into the WAND closure instead)
+            # lazy block-skipping WAND needs build-exact df/bounds; under
+            # tombstones / delta segments the bucket tier serves the same
+            # queries distributed + exact (live-df map, tombstone filter)
+            if result.sort is None:
+                served = self._serve_buckets(result.ast, limit)
+                if served is not None:
+                    return served[0]
             return self.search_result(query, limit)[0]
         multiplicity: dict = {}
         for t in terms:

@@ -66,15 +66,113 @@ class _ScoreSet:
 
 
 class LocalExecutor:
-    def __init__(self, engine, meta_limit: int = 2_000_000):
+    def __init__(
+        self,
+        engine,
+        meta_limit: int = 2_000_000,
+        postings_byte_budget: int = 8 << 20,
+        positions_byte_budget: int = 8 << 20,
+        dict_row_limit: int = 2_000_000,
+    ):
         self.engine = engine
         self.meta_limit = meta_limit
+        # budgets bound what one query may COLLECT to the driver: postings
+        # payloads for its terms/prefix expansions, position blobs for its
+        # phrase terms. Queries over budget are served by the distributed
+        # tiers instead — a hot term (df→N) must never OOM the driver.
+        self.postings_byte_budget = postings_byte_budget
+        self.positions_byte_budget = positions_byte_budget
+        self.dict_row_limit = dict_row_limit
         self._postings_cache: Dict[str, Tuple[np.ndarray, np.ndarray, np.ndarray, int]] = {}
         self._prefix_cache: Dict[str, List[str]] = {}
-        self._positions_cache: Dict[str, Dict[int, np.ndarray]] = {}
+        self._positions_cache: Dict[str, tuple] = {}
         self._meta: Optional[pd.DataFrame] = None
         self._all_ids: Optional[np.ndarray] = None
         self._tc: Optional[pd.Series] = None
+        # in-memory dictionary: sorted term array + (payload bytes, df) —
+        # the routing oracle (the reference keeps its whole dictionary in a
+        # TreeMap, DictionaryReader.java:27-87; we keep only 3 columns)
+        self._dict_terms: Optional[np.ndarray] = None
+        self._dict_bytes: Optional[np.ndarray] = None
+        self._dict_df: Optional[np.ndarray] = None
+        self._dict_unavailable = False
+        self._pos_terms: Optional[np.ndarray] = None
+        self._pos_bytes: Optional[np.ndarray] = None
+        self._pos_unavailable = False
+
+    # ----------------------------------------------------- routing dictionary
+    def _load_dictionary(self) -> bool:
+        """Load (term, bytes, df) once. False if the vocabulary exceeds
+        dict_row_limit — then the driver must not route by dictionary and
+        big queries go distributed."""
+        if self._dict_terms is not None:
+            return True
+        if self._dict_unavailable:
+            return False
+        # cheap pre-check: the manifest records posting ROWS per file, and
+        # rows ≈ vocab × buckets — if the vocabulary clearly exceeds the
+        # dictionary limit, skip the (full-shuffle) groupBy entirely
+        import os as _os
+
+        n_buckets = max(int(self.engine.stats.get("n_buckets", 1)), 1)
+        try:
+            man = self.engine.spark.read.parquet(
+                _os.path.join(self.engine.index_dir, "manifest")
+            )
+            total_rows = man.agg(F.sum("rows")).first()[0] or 0
+            if total_rows / n_buckets > self.dict_row_limit * 2:
+                self._dict_unavailable = True
+                return False
+        except Exception:
+            pass  # no manifest (partial build) — fall through to the agg
+        agg = (
+            self.engine.postings.groupBy("term")
+            .agg(
+                F.sum(F.octet_length("payload")).alias("bytes"),
+                F.sum("df_shard").alias("df"),
+            )
+            .limit(self.dict_row_limit + 1)
+        )
+        pdf = agg.toPandas()
+        if len(pdf) > self.dict_row_limit:
+            self._dict_unavailable = True
+            return False
+        pdf = pdf.sort_values("term").reset_index(drop=True)
+        self._dict_terms = pdf["term"].to_numpy()
+        self._dict_bytes = pdf["bytes"].to_numpy(dtype=np.int64)
+        self._dict_df = pdf["df"].to_numpy(dtype=np.int64)
+        return True
+
+    def _load_pos_dictionary(self) -> bool:
+        if self._pos_terms is not None:
+            return True
+        if self._pos_unavailable or self.engine.positions is None:
+            return False
+        agg = (
+            self.engine.positions.groupBy("term")
+            .agg(F.sum(F.octet_length("payload")).alias("bytes"))
+            .limit(self.dict_row_limit + 1)
+        )
+        pdf = agg.toPandas()
+        if len(pdf) > self.dict_row_limit:
+            self._pos_unavailable = True
+            return False
+        pdf = pdf.sort_values("term").reset_index(drop=True)
+        self._pos_terms = pdf["term"].to_numpy()
+        self._pos_bytes = pdf["bytes"].to_numpy(dtype=np.int64)
+        return True
+
+    @staticmethod
+    def _range_bytes(terms_arr, bytes_arr, lo: str, hi: str) -> int:
+        a = int(np.searchsorted(terms_arr, lo, side="left"))
+        b = int(np.searchsorted(terms_arr, hi, side="left"))
+        return int(bytes_arr[a:b].sum())
+
+    def _term_bytes(self, terms_arr, bytes_arr, term: str) -> int:
+        i = int(np.searchsorted(terms_arr, term, side="left"))
+        if i < len(terms_arr) and terms_arr[i] == term:
+            return int(bytes_arr[i])
+        return 0
 
     # ----------------------------------------------------------- data access
     def _needs_meta(self, node: Node) -> bool:
@@ -160,9 +258,13 @@ class LocalExecutor:
 
     _prefix_terms: Dict[str, List[str]] = None  # set in execute()
 
-    def _positions_for(self, terms: List[str]) -> Dict[str, Dict[int, np.ndarray]]:
+    def _positions_for(self, terms: List[str]):
+        """term → (doc_ids sorted, per-doc position arrays) — the
+        lse.phrase.TermPositions shape, merged across segment shards."""
         if self.engine.positions is None:
             return {}
+        from .phrase import merge_shards
+
         want = set(terms)
         missing = sorted(want - set(self._positions_cache))
         if missing:
@@ -173,16 +275,17 @@ class LocalExecutor:
                 .select("term", "n_docs", "payload")
                 .collect()
             )
-            for t in missing:
-                self._positions_cache[t] = {}
+            shards: Dict[str, list] = {t: [] for t in missing}
             for r in rows:
-                ids, plists = decode_positions_blob(
-                    bytes(r["payload"]), int(r["n_docs"])
+                shards[r["term"]].append(
+                    decode_positions_blob(bytes(r["payload"]), int(r["n_docs"]))
                 )
-                slot = self._positions_cache[r["term"]]
-                for d, p in zip(ids, plists):
-                    slot[int(d)] = p
-        return {t: self._positions_cache.get(t, {}) for t in want}
+            for t in missing:
+                self._positions_cache[t] = merge_shards(shards[t])
+        return {
+            t: self._positions_cache.get(t, (np.empty(0, dtype=np.int64), []))
+            for t in want
+        }
 
     # ------------------------------------------------------------ evaluation
     def _score_term(self, term: str) -> _ScoreSet:
@@ -232,32 +335,20 @@ class LocalExecutor:
         norm = [(t or "").lower() for t in terms]
         if not norm or any(not t.strip() for t in norm):
             return _ScoreSet.empty()
+        from .phrase import match_phrase
+
         scored = {t: self._score_term(t) for t in set(norm)}
         first = scored[norm[0]]
         if first.ids.size == 0:
             return _ScoreSet.empty()
-        matched = []
-        for doc in first.ids:
-            doc = int(doc)
-            ok = True
-            expected = None  # iterated expected-position-set intersection
-            for t in norm:   # (QueryEngine.java:309-341)
-                plist = positions.get(t, {}).get(doc)
-                if plist is None or plist.size == 0:
-                    ok = False
-                    break
-                if expected is None:
-                    expected = set((plist + 1).tolist())
-                    continue
-                expected = {p + 1 for p in plist if p in expected}
-                if not expected:
-                    ok = False
-                    break
-            if ok:
-                matched.append(doc)
-        if not matched:
+        # vectorized adjacency over the position index (QueryEngine.java:
+        # 309-341 semantics, shared with the distributed kernel); positions
+        # are not tombstone-filtered, so restrict to the LIVE candidate set
+        # (the first term's live postings — same seed as the reference)
+        marr = match_phrase(norm, positions)
+        marr = np.intersect1d(marr, first.ids, assume_unique=True)
+        if marr.size == 0:
             return _ScoreSet.empty()
-        marr = np.array(sorted(matched), dtype=np.int64)
         total = np.zeros(marr.size)
         for t in norm:  # per-occurrence sum, duplicates add twice
             ss = scored[t]
@@ -311,15 +402,54 @@ class LocalExecutor:
         return _ScoreSet(ids, np.ones(ids.size))
 
     # ---------------------------------------------------------------- public
+    def _query_shape(self, ast: Node):
+        terms, prefixes, phrase_terms = set(), set(), set()
+        for n in _walk(ast):
+            if isinstance(n, Term):
+                terms.add(n.term.lower())
+            elif isinstance(n, Prefix):
+                prefixes.add(n.prefix.lower())
+            elif isinstance(n, Phrase):
+                phrase_terms.update((t or "").lower() for t in n.terms)
+        return terms, prefixes, phrase_terms
+
     def can_execute(self, ast: Node) -> bool:
+        """Route to this tier only when the query's driver-side collect is
+        bounded: metadata volume under ``meta_limit`` AND the postings /
+        position payload bytes of its terms (from the in-memory dictionary)
+        under the byte budgets. A hot-df term or fat phrase routes to the
+        distributed tiers no matter how big the corpus grows — the old
+        N-only gate let a df→N term collect unboundedly."""
         if self._needs_meta(ast) and self.engine.N > self.meta_limit:
             return False
-        # phrase evaluation collects per-doc position lists — at high N that
-        # volume belongs on executors (the Spark positions-join path)
-        if self.engine.N > self.meta_limit and any(
-            isinstance(n, Phrase) for n in _walk(ast)
-        ):
+        terms, prefixes, phrase_terms = self._query_shape(ast)
+        post_terms = {t for t in (terms | phrase_terms) if t.strip()}
+        if not post_terms and not prefixes:
+            return True  # pure metadata query; meta gate already passed
+        if not self._load_dictionary():
+            # vocabulary too large for a driver-side dictionary → only a
+            # small corpus is safe to serve locally
+            return self.engine.N <= self.meta_limit
+        need = 0
+        for t in sorted(post_terms - set(self._postings_cache)):
+            need += self._term_bytes(self._dict_terms, self._dict_bytes, t)
+        for p in sorted(prefixes):
+            if p in self._prefix_cache or not p.strip():
+                continue
+            need += self._range_bytes(self._dict_terms, self._dict_bytes, p, p + "￿")
+        if need > self.postings_byte_budget:
             return False
+        live_ph = {t for t in phrase_terms if t.strip()}
+        missing_ph = sorted(live_ph - set(self._positions_cache))
+        if missing_ph:
+            if not self._load_pos_dictionary():
+                return self.engine.N <= self.meta_limit
+            pneed = sum(
+                self._term_bytes(self._pos_terms, self._pos_bytes, t)
+                for t in missing_ph
+            )
+            if pneed > self.positions_byte_budget:
+                return False
         return True
 
     def execute(

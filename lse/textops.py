@@ -10,7 +10,6 @@ is Arrow-batched numpy.
 
 from __future__ import annotations
 
-import zlib
 from typing import Iterable
 
 import numpy as np
@@ -73,15 +72,35 @@ def add_token_counts(df: DataFrame, col: str = "content") -> DataFrame:
     )
 
 
+_FP_PRIME = np.uint64(1099511628211)  # FNV-64 prime as the rolling base
+
+
+def _kgram_hashes(data: bytes, k: int) -> np.ndarray:
+    """Vectorized polynomial k-gram hashes over the BYTE stream:
+    ``h_i = Σ_j data[i+j] · p^(k-1-j)  (mod 2^64)`` — one shift-multiply
+    matrix product instead of a Python loop of per-gram digests."""
+    b = np.frombuffer(data, dtype=np.uint8)
+    if b.size < k:
+        # short text: hash the whole string once (same degenerate case the
+        # per-gram form would produce for its only gram)
+        powers = _FP_PRIME ** np.arange(b.size - 1, -1, -1, dtype=np.uint64)
+        return np.array([(b.astype(np.uint64) * powers).sum()], dtype=np.uint64)
+    powers = _FP_PRIME ** np.arange(k - 1, -1, -1, dtype=np.uint64)
+    sw = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
+    return (sw * powers[None, :]).sum(axis=1)
+
+
 def fingerprints(
     df: DataFrame,
     col: str = "content",
     k: int = 8,
     window: int = 16,
 ) -> DataFrame:
-    """Winnowing fingerprints: rolling crc32 over k-char grams, minimum per
-    sliding window, distinct mins kept → (doc_id, fingerprints array<long>).
-    Standard winnowing (Schleimer et al., SIGMOD'03) vectorized in numpy."""
+    """Winnowing fingerprints: polynomial rolling hash over k-byte grams,
+    minimum per sliding window, distinct mins kept →
+    (doc_id, fingerprints array<long>). Standard winnowing (Schleimer et
+    al., SIGMOD'03); the whole kernel — gram hashing included — is bulk
+    numpy, no per-character Python."""
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
@@ -93,24 +112,14 @@ def fingerprints(
         for pdf in batches:
             out_id, out_fp = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf[col]):
-                text = (text or "").lower()
-                if len(text) < k:
-                    hs = np.array([zlib.crc32(text.encode())], dtype=np.int64)
-                else:
-                    hs = np.fromiter(
-                        (
-                            zlib.crc32(text[i : i + k].encode())
-                            for i in range(len(text) - k + 1)
-                        ),
-                        dtype=np.int64,
-                    )
+                hs = _kgram_hashes((text or "").lower().encode("utf-8"), k)
                 if hs.size <= window:
-                    mins = np.array([hs.min()])
+                    mins = np.array([hs.min()], dtype=np.uint64)
                 else:
                     sw = np.lib.stride_tricks.sliding_window_view(hs, window)
                     mins = sw.min(axis=1)
                 out_id.append(doc_id)
-                out_fp.append(np.unique(mins).tolist())
+                out_fp.append(np.unique(mins).view(np.int64).tolist())
             yield pd.DataFrame({"doc_id": out_id, "fingerprints": out_fp})
 
     return df.select("doc_id", col).mapInPandas(run, schema)

@@ -60,9 +60,14 @@ def main() -> int:
     s.add_argument("--query", required=True)
     s.add_argument("--limit", type=int, default=10)
     s.add_argument("--json", action="store_true")
-    s.add_argument("--mode", default="auto", choices=["auto", "local", "spark"])
+    s.add_argument(
+        "--mode", default="auto", choices=["auto", "local", "spark", "bucket"]
+    )
 
     s = sub.add_parser("status")
+    s.add_argument("--index", required=True)
+
+    s = sub.add_parser("verify")  # per-file sha256 integrity vs manifest
     s.add_argument("--index", required=True)
 
     s = sub.add_parser("delete")
@@ -123,6 +128,12 @@ def main() -> int:
             from lse.maintenance import index_status
 
             print(json.dumps(index_status(spark, args.index)))
+        elif args.cmd == "verify":
+            from lse.build import verify_index
+
+            problems = verify_index(spark, args.index)
+            print(json.dumps(dict(intact=not problems, problems=problems)))
+            return 0 if not problems else 3
         elif args.cmd == "delete":
             from lse.maintenance import delete_by_path
 

@@ -77,6 +77,7 @@ def run_at(cores: int) -> dict:
         build_sec = time.perf_counter() - t0
 
         engine = SearchEngine(spark, index_dir)
+        engine.warm()  # serving mode: postings pinned on executors
         engine.search_result("warmup", 10)
         q_lat = {}
         results = {}

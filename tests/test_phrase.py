@@ -1,0 +1,105 @@
+"""lse.phrase unit tests: the vectorized adjacency matcher must agree with
+a naive per-doc transcription of the reference's expected-set intersection
+(QueryEngine.java:309-341) on random corpora, plus golden edge cases."""
+
+import numpy as np
+import pytest
+
+from lse.phrase import filter_tombstones, match_phrase, merge_shards
+
+
+def build_per_term(docs: dict):
+    """docs: doc_id → list of terms (position == index)."""
+    per_term = {}
+    for doc_id, toks in docs.items():
+        for i, t in enumerate(toks):
+            per_term.setdefault(t, {}).setdefault(doc_id, []).append(i)
+    out = {}
+    for t, m in per_term.items():
+        ids = np.array(sorted(m), dtype=np.int64)
+        out[t] = (ids, [np.array(m[d], dtype=np.int64) for d in ids])
+    return out
+
+
+def naive_match(terms, docs):
+    """Reference transcription: iterated expected-position-set intersection."""
+    out = []
+    for doc_id, toks in docs.items():
+        pos = {}
+        for i, t in enumerate(toks):
+            pos.setdefault(t, []).append(i)
+        if any(t not in pos for t in terms):
+            continue
+        expected = None
+        ok = True
+        for t in terms:
+            plist = pos[t]
+            if expected is None:
+                expected = {p + 1 for p in plist}
+                continue
+            expected = {p + 1 for p in plist if p in expected}
+            if not expected:
+                ok = False
+                break
+        if ok:
+            out.append(doc_id)
+    return sorted(out)
+
+
+def test_simple_adjacency():
+    docs = {
+        1: ["distributed", "system", "architecture"],
+        2: ["system", "distributed", "design"],
+        3: ["the", "distributed", "system"],
+    }
+    pt = build_per_term(docs)
+    assert match_phrase(["distributed", "system"], pt).tolist() == [1, 3]
+    assert match_phrase(["system", "distributed"], pt).tolist() == [2]
+
+
+def test_three_terms_and_missing_term():
+    docs = {1: ["a", "b", "c"], 2: ["a", "b", "x", "c"], 3: ["b", "c", "a"]}
+    pt = build_per_term(docs)
+    assert match_phrase(["a", "b", "c"], pt).tolist() == [1]
+    assert match_phrase(["a", "zz"], pt).size == 0
+
+
+def test_repeated_term_phrase():
+    docs = {1: ["java", "java", "rocks"], 2: ["java", "rocks", "java"]}
+    pt = build_per_term(docs)
+    assert match_phrase(["java", "java"], pt).tolist() == [1]
+
+
+def test_blank_term_rejected():
+    docs = {1: ["a", "b"]}
+    pt = build_per_term(docs)
+    assert match_phrase(["a", " "], pt).size == 0
+    assert match_phrase([], pt).size == 0
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_vs_naive(seed):
+    rng = np.random.default_rng(seed)
+    vocab = [f"t{i}" for i in range(8)]
+    docs = {
+        int(d): [vocab[i] for i in rng.integers(0, len(vocab), size=rng.integers(1, 40))]
+        for d in rng.choice(10_000, size=60, replace=False)
+    }
+    pt = build_per_term(docs)
+    for _ in range(25):
+        k = int(rng.integers(1, 4))
+        phrase = [vocab[i] for i in rng.integers(0, len(vocab), size=k)]
+        got = match_phrase(phrase, pt).tolist()
+        want = naive_match(phrase, docs)
+        assert got == want, (phrase, got, want)
+
+
+def test_merge_shards_and_tombstones():
+    a = (np.array([1, 5], dtype=np.int64), [np.array([0]), np.array([2, 3])])
+    b = (np.array([3], dtype=np.int64), [np.array([7])])
+    ids, plists = merge_shards([a, b])
+    assert ids.tolist() == [1, 3, 5]
+    assert [p.tolist() for p in plists] == [[0], [7], [2, 3]]
+    ids2, plists2 = filter_tombstones((ids, plists), np.array([3], dtype=np.int64))
+    assert ids2.tolist() == [1, 5]
+    assert [p.tolist() for p in plists2] == [[0], [2, 3]]
