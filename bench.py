@@ -35,6 +35,8 @@ BENCH_QUERIES = {
     "multi_or_wand": "spark OR query OR join OR merge",
     "phrase3": '"agg hash window"',
     "filtered_term": "repo:src3 AND spark",
+    "term_topk_bucket": "spark",
+    "multi_or_bucket": "spark OR query OR join OR merge",
 }
 
 
@@ -93,9 +95,13 @@ def main() -> None:
         for name, q in BENCH_QUERIES.items():
             def run_once():
                 if name.endswith("_wand"):
-                    engine.search_topk(q, 10)  # distributed block-max WAND
+                    # lazy block-max WAND kernel, forced
+                    engine.search_topk(q, 10, strategy="wand")
+                elif name.endswith("_bucket"):
+                    # vectorized bucket tier (search_topk default)
+                    engine.search_topk(q, 10)
                 else:
-                    engine.search_result(q, 10)  # auto: local serving tier
+                    engine.search_result(q, 10)  # auto routing
 
             t1 = time.perf_counter()
             run_once()

@@ -186,22 +186,58 @@ class SearchEngine:
     def warm(self) -> "SearchEngine":
         """Pin the query-facing tables on the executors (MEMORY_AND_DISK)
         and materialize them — the serving analog of the reference keeping
-        its segments open in-process (QueryEngine.java:211-242). Distributed
-        queries then skip the parquet scan entirely; only the per-bucket
-        kernel + fold remain. Also primes the local tier's routing
-        dictionary so `can_execute` never pays a lazy first-query job."""
+        its segments open in-process (QueryEngine.java:211-242). Postings /
+        positions are REPARTITIONED BY BUCKET first, so the serving kernels'
+        ``groupBy("bucket")`` finds the required hash distribution already
+        satisfied and Catalyst elides the per-query exchange: a warm top-k
+        is ONE stage (cached scan → kernel → TakeOrdered). Also primes the
+        local tier's routing dictionary so `can_execute` never pays a lazy
+        first-query job."""
         from pyspark import StorageLevel
 
-        self.postings = self.postings.persist(StorageLevel.MEMORY_AND_DISK)
+        n_buckets = max(int(self.stats.get("n_buckets", 8)), 1)
+        # repartition by bucket for exchange elision, but SORT WITHIN each
+        # partition by term: cached batches then carry tight term min/max
+        # stats, so a query's `term IN (…)` still prunes whole batches — a
+        # bucket-only layout would force every term lookup to scan the
+        # entire cache
+        self.postings = (
+            self.postings.repartition(n_buckets, "bucket")
+            .sortWithinPartitions("term")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
         self.postings.count()
         if self.positions is not None:
-            self.positions = self.positions.persist(StorageLevel.MEMORY_AND_DISK)
+            self.positions = (
+                self.positions.repartition(n_buckets, "bucket")
+                .sortWithinPartitions("term")
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
             self.positions.count()
         self.doc_stats = self.doc_stats.persist(StorageLevel.MEMORY_AND_DISK)
         self.doc_stats.count()
         self.local._load_dictionary()
         self.local._load_pos_dictionary()
         return self
+
+    def _serving_conf(self):
+        """Context manager: disable AQE while planning a latency-path query.
+        AQE's re-optimization loop costs ~0.1-0.2 s per job — worth it for
+        the build's big shuffles, pure overhead for a k-row serving job on
+        pre-partitioned cached data."""
+        from contextlib import contextmanager
+
+        @contextmanager
+        def cm():
+            key = "spark.sql.adaptive.enabled"
+            old = self.spark.conf.get(key, "true")
+            self.spark.conf.set(key, "false")
+            try:
+                yield
+            finally:
+                self.spark.conf.set(key, old)
+
+        return cm()
 
     # ------------------------------------------------------------ utilities
     def _empty(self) -> DataFrame:
@@ -318,13 +354,14 @@ class SearchEngine:
         tomb_bc = self._tomb_bc
 
         def bucket_match(key, pdf: pd.DataFrame) -> pd.DataFrame:
-            from .codec import decode_positions_blob
+            from .codec import decode_positions_flat
             from .phrase import filter_tombstones, match_phrase, merge_shards
 
             shards: dict = {}
             for r in pdf.itertuples(index=False):
-                ids, plists = decode_positions_blob(bytes(r.payload), int(r.n_docs))
-                shards.setdefault(r.term, []).append((ids, plists))
+                shards.setdefault(r.term, []).append(
+                    decode_positions_flat(bytes(r.payload), int(r.n_docs))
+                )
             per_term = {
                 t: filter_tombstones(merge_shards(s), tomb_bc.value)
                 for t, s in shards.items()
@@ -559,45 +596,190 @@ class SearchEngine:
             core = Bool("AND", core, c)
         return filters, core
 
+    def _collect_filter_ids(self, filters: List[Node]):
+        """Intersect metadata-filter doc sets → (sorted int64 ids | None, ok).
+        ok=False when the set exceeds the broadcastable cap (the general
+        compiler serves it instead — at 100 TB a field filter can match
+        billions of docs)."""
+        if not filters:
+            return None, True
+        fdf = reduce(
+            lambda a, b: a.join(b, "doc_id", "inner"),
+            [self.compile(f).select("doc_id") for f in filters],
+        )
+        fpdf = fdf.limit(2_000_001).toPandas()
+        if len(fpdf) > 2_000_000:
+            return None, False
+        return np.sort(fpdf["doc_id"].to_numpy(dtype=np.int64)), True
+
+    def _serve_phrase_buckets(
+        self, terms: List[str], filters: List[Node], limit: int
+    ) -> Optional[Tuple[List[Tuple[int, float]], int]]:
+        """Phrase serving in ONE cogrouped job: per doc-range bucket the
+        kernel gets BOTH the phrase terms' position blobs and their posting
+        blobs (buckets are aligned across the two tables by construction),
+        runs the vectorized adjacency matcher, scores the matches with
+        member-term BM25, and emits bucket top-k + exact count. Replaces
+        the compile tier's positions-kernel + score-join + count chain
+        (3 jobs) with a single stage for the latency path."""
+        fid, ok = self._collect_filter_ids(filters)
+        if not ok:
+            return None
+        if fid is not None and fid.size == 0:
+            return [], 0
+        bonus = float(len(filters))
+        distinct = sorted(set(terms))
+        dfmap = self._live_df_map(distinct)
+        post = self.postings.filter(F.col("term").isin(distinct)).select(
+            "term", "bucket", "payload", "df_shard", "df"
+        )
+        pos = self.positions.filter(F.col("term").isin(distinct)).select(
+            "term", "bucket", "n_docs", "payload"
+        )
+        N, avgdl = self.N, self.avgdl
+        k = max(0, min(limit, MAX_SEARCH_LIMIT))
+        tomb_bc = self._tomb_bc
+        terms_local = list(terms)
+        n_distinct = len(distinct)
+
+        def kern(key, post_pdf: pd.DataFrame, pos_pdf: pd.DataFrame) -> pd.DataFrame:
+            from .codec import decode_positions_flat, raw_bm25_component
+            from .phrase import (
+                filter_tombstones,
+                match_phrase,
+                merge_shards,
+                restrict_ids,
+            )
+
+            tomb = tomb_bc.value
+            empty = pd.DataFrame(
+                {
+                    "kind": pd.Series(dtype="int32"),
+                    "doc_id": pd.Series(dtype="int64"),
+                    "score": pd.Series(dtype="float64"),
+                }
+            )
+            shards: Dict[str, list] = {}
+            for r in pos_pdf.itertuples(index=False):
+                shards.setdefault(r.term, []).append(
+                    decode_positions_flat(bytes(r.payload), int(r.n_docs))
+                )
+            per_term: Dict[str, tuple] = {}
+            for t, s in shards.items():
+                tp = filter_tombstones(merge_shards(s), tomb)
+                if fid is not None:
+                    tp = restrict_ids(tp, fid)
+                per_term[t] = tp
+            matched = match_phrase(terms_local, per_term)
+            if matched.size == 0:
+                return empty
+            merged: Dict[str, tuple] = {}
+            row_df: Dict[str, int] = {}
+            pshards: Dict[str, list] = {}
+            for r in post_pdf.itertuples(index=False):
+                ids, tfs, dls = decode_postings(bytes(r.payload), int(r.df_shard))
+                if tomb.size:
+                    live = ~np.isin(ids, tomb)
+                    ids, tfs, dls = ids[live], tfs[live], dls[live]
+                if fid is not None:
+                    m = np.isin(ids, fid)
+                    ids, tfs, dls = ids[m], tfs[m], dls[m]
+                pshards.setdefault(r.term, []).append((ids, tfs, dls))
+                row_df[r.term] = int(r.df)
+            for t, s in pshards.items():
+                if len(s) == 1:
+                    merged[t] = s[0]
+                else:
+                    ids = np.concatenate([x[0] for x in s])
+                    tfs = np.concatenate([x[1] for x in s])
+                    dls = np.concatenate([x[2] for x in s])
+                    order = np.argsort(ids, kind="stable")
+                    merged[t] = (ids[order], tfs[order], dls[order])
+            if len(merged) < n_distinct:
+                return empty  # postings/positions co-write invariant broken
+
+            score = np.zeros(matched.size)
+            for t in terms_local:  # per occurrence — duplicates add twice
+                ids, tfs, dls = merged[t]
+                dfv = dfmap[t] if dfmap is not None else row_df[t]
+                b = min(max(dfv, 0), N)
+                idf = float(np.log((N - b + 0.5) / (b + 0.5) + 1.0))
+                p = np.searchsorted(ids, matched)
+                score += idf * raw_bm25_component(tfs[p], dls[p], avgdl)
+            order = np.lexsort((matched, -score))[:k]
+            return pd.DataFrame(
+                {
+                    "kind": np.concatenate(
+                        [np.zeros(order.size, dtype="int32"),
+                         np.ones(1, dtype="int32")]
+                    ),
+                    "doc_id": np.concatenate(
+                        [matched[order], np.array([matched.size], dtype=np.int64)]
+                    ),
+                    "score": np.concatenate([score[order], np.zeros(1)]),
+                }
+            )
+
+        with self._serving_conf():
+            coll = (
+                post.groupBy("bucket")
+                .cogroup(pos.groupBy("bucket"))
+                .applyInPandas(kern, _SERVE_SCHEMA)
+                .collect()
+            )
+        total = sum(int(r["doc_id"]) for r in coll if r["kind"] == 1)
+        hits = sorted(
+            ((int(r["doc_id"]), float(r["score"])) for r in coll if r["kind"] == 0),
+            key=lambda t: (-t[1], t[0]),
+        )[:k]
+        return [(d, s + bonus) for d, s in hits], total
+
+    def _core_shape(self, node: Node):
+        """('or'|'and'|'phrase', terms) when the node is bucket-servable."""
+        if isinstance(node, Phrase):
+            return ("phrase", [(t or "").lower() for t in node.terms])
+        o = self.wand_terms(node, "OR")
+        if o is not None:
+            return ("or", o)
+        a = self.wand_terms(node, "AND")
+        if a is not None:
+            return ("and", a)
+        return None
+
     def _serve_buckets(
         self, ast: Node, limit: int
     ) -> Optional[Tuple[List[Tuple[int, float]], int]]:
-        """Distributed exact serving for term-tree queries (optionally AND-ed
-        with metadata filters): per doc-range bucket, decode → numpy BM25 →
-        bucket top-k + exact match count; the driver folds k·B rows. Handles
-        tombstones / delta segments via the live-df map — postings and
-        positions NEVER collect to the driver. Returns None when the AST
-        shape needs the general compiler."""
-        or_terms = self.wand_terms(ast, "OR")
-        and_terms = self.wand_terms(ast, "AND")
+        """Distributed exact serving for term-tree AND phrase queries
+        (optionally AND-ed with metadata filters): per doc-range bucket,
+        decode → numpy BM25 → bucket top-k + exact match count; the driver
+        folds k·B rows. Handles tombstones / delta segments via the live-df
+        map — postings and positions NEVER collect to the driver. Returns
+        None when the AST shape needs the general compiler."""
+        shape = self._core_shape(ast)
         filters: List[Node] = []
-        if or_terms is None and and_terms is None:
+        if shape is None:
             filters, core = self._split_filtered_and(ast)
-            if filters is None:
+            if filters is None or core is None:
                 return None
-            if core is None:
-                return None  # pure metadata query — not this tier's job
-            or_terms = self.wand_terms(core, "OR")
-            and_terms = self.wand_terms(core, "AND")
-            if or_terms is None and and_terms is None:
+            shape = self._core_shape(core)
+            if shape is None:
                 return None
-        terms = or_terms if or_terms is not None else and_terms
-        conjunctive = or_terms is None
+        kind, terms = shape
+        if kind == "phrase":
+            if any(not t.strip() for t in terms):
+                return [], 0  # blank phrase term ⇒ no match (reference)
+            if self.positions is None or not terms:
+                return [], 0
+            return self._serve_phrase_buckets(terms, filters, limit)
+        conjunctive = kind == "and"
         terms = [t for t in terms if t.strip()]
         if not terms:
             return None
-        filter_ids = None
-        if filters:
-            fdf = reduce(
-                lambda a, b: a.join(b, "doc_id", "inner"),
-                [self.compile(f).select("doc_id") for f in filters],
-            )
-            fpdf = fdf.limit(2_000_001).toPandas()
-            if len(fpdf) > 2_000_000:
-                return None  # filter set too large to broadcast — compile
-            if fpdf.empty:
-                return [], 0
-            filter_ids = np.sort(fpdf["doc_id"].to_numpy(dtype=np.int64))
+        filter_ids, ok = self._collect_filter_ids(filters)
+        if not ok:
+            return None  # filter set too large to broadcast — compile
+        if filter_ids is not None and filter_ids.size == 0:
+            return [], 0
         bonus = float(len(filters))
 
         multiplicity: Dict[str, int] = {}
@@ -697,7 +879,8 @@ class SearchEngine:
                 }
             )
 
-        coll = rows.groupBy("bucket").applyInPandas(kern, _SERVE_SCHEMA).collect()
+        with self._serving_conf():
+            coll = rows.groupBy("bucket").applyInPandas(kern, _SERVE_SCHEMA).collect()
         total = sum(int(r["doc_id"]) for r in coll if r["kind"] == 1)
         hits = sorted(
             ((int(r["doc_id"]), float(r["score"])) for r in coll if r["kind"] == 0),
@@ -719,13 +902,20 @@ class SearchEngine:
                 return l + r
         return None
 
-    def search_topk(self, query: str, limit: int = 10) -> List[Tuple[int, float]]:
-        """Top-k via distributed block-max WAND when the query is a pure
-        OR-of-terms (disjunctive WAND) or AND-of-terms (conjunctive DAAT
-        intersection); falls back to the general path otherwise. Runs as
-        ``applyInPandas`` per doc-range bucket — buckets are aligned across
-        terms, so each bucket's top-k is independent and the global top-k is
-        their fold."""
+    def search_topk(
+        self, query: str, limit: int = 10, strategy: str = "auto"
+    ) -> List[Tuple[int, float]]:
+        """Distributed top-k.
+
+        strategy='auto' serves through the bucket tier (vectorized
+        decode+score per doc-range bucket) — measured faster than lazy WAND
+        whenever score variance is low, because WAND's document-at-a-time
+        pivot loop runs in Python while the bucket kernel scores whole
+        shards in numpy. strategy='wand' forces the lazy block-max WAND
+        kernel (block-skipping pays off when per-block score bounds vary —
+        rare terms mixed with hot ones — and it decodes only the blocks it
+        cannot prune). Both are exact and rank-identical; tests pin them to
+        the exhaustive scorer."""
         limit = max(0, min(limit, MAX_SEARCH_LIMIT))
         result = querydsl.parse(query)
         or_terms = self.wand_terms(result.ast, "OR")
@@ -735,12 +925,13 @@ class SearchEngine:
         if terms is not None:
             terms = [t for t in terms if t.strip()]
         if (
-            terms is None or not terms or result.sort is not None
+            strategy != "wand"
+            or terms is None or not terms or result.sort is not None
             or self.tomb_ids.size or self.multi_segment
         ):
-            # lazy block-skipping WAND needs build-exact df/bounds; under
-            # tombstones / delta segments the bucket tier serves the same
-            # queries distributed + exact (live-df map, tombstone filter)
+            # bucket tier: vectorized, and exact under tombstones / delta
+            # segments too (live-df map, tombstone filter). Lazy WAND needs
+            # build-exact df/bounds, so those shapes always land here.
             if result.sort is None:
                 served = self._serve_buckets(result.ast, limit)
                 if served is not None:
@@ -786,9 +977,10 @@ class SearchEngine:
             )
 
         per_bucket = rows.groupBy("bucket").applyInPandas(bucket_wand, _TOPK_SCHEMA)
-        top = (
-            per_bucket.orderBy(F.col("score").desc(), F.col("doc_id").asc())
-            .limit(k)
-            .collect()
-        )
+        with self._serving_conf():
+            top = (
+                per_bucket.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+                .limit(k)
+                .collect()
+            )
         return [(r["doc_id"], r["score"]) for r in top]

@@ -259,16 +259,16 @@ class LocalExecutor:
     _prefix_terms: Dict[str, List[str]] = None  # set in execute()
 
     def _positions_for(self, terms: List[str]):
-        """term → (doc_ids sorted, per-doc position arrays) — the
-        lse.phrase.TermPositions shape, merged across segment shards."""
+        """term → flat TermPositions (doc_ids, counts, flat positions),
+        merged across segment shards."""
         if self.engine.positions is None:
             return {}
-        from .phrase import merge_shards
+        from .phrase import empty_positions, merge_shards
 
         want = set(terms)
         missing = sorted(want - set(self._positions_cache))
         if missing:
-            from .codec import decode_positions_blob
+            from .codec import decode_positions_flat
 
             rows = (
                 self.engine.positions.filter(F.col("term").isin(missing))
@@ -278,13 +278,12 @@ class LocalExecutor:
             shards: Dict[str, list] = {t: [] for t in missing}
             for r in rows:
                 shards[r["term"]].append(
-                    decode_positions_blob(bytes(r["payload"]), int(r["n_docs"]))
+                    decode_positions_flat(bytes(r["payload"]), int(r["n_docs"]))
                 )
             for t in missing:
                 self._positions_cache[t] = merge_shards(shards[t])
         return {
-            t: self._positions_cache.get(t, (np.empty(0, dtype=np.int64), []))
-            for t in want
+            t: self._positions_cache.get(t, empty_positions()) for t in want
         }
 
     # ------------------------------------------------------------ evaluation
@@ -430,23 +429,27 @@ class LocalExecutor:
             # vocabulary too large for a driver-side dictionary → only a
             # small corpus is safe to serve locally
             return self.engine.N <= self.meta_limit
+        # route on the query's TOTAL postings volume (cached or not): the
+        # driver pays that volume again at every evaluation (numpy scoring
+        # scales with Σ df), so routing must be a pure function of the
+        # query + dictionary — a multi-hot-term OR belongs on executors
+        # even when its postings happen to be cached
         need = 0
-        for t in sorted(post_terms - set(self._postings_cache)):
+        for t in sorted(post_terms):
             need += self._term_bytes(self._dict_terms, self._dict_bytes, t)
         for p in sorted(prefixes):
-            if p in self._prefix_cache or not p.strip():
+            if not p.strip():
                 continue
             need += self._range_bytes(self._dict_terms, self._dict_bytes, p, p + "￿")
         if need > self.postings_byte_budget:
             return False
         live_ph = {t for t in phrase_terms if t.strip()}
-        missing_ph = sorted(live_ph - set(self._positions_cache))
-        if missing_ph:
+        if live_ph:
             if not self._load_pos_dictionary():
                 return self.engine.N <= self.meta_limit
             pneed = sum(
                 self._term_bytes(self._pos_terms, self._pos_bytes, t)
-                for t in missing_ph
+                for t in sorted(live_ph)
             )
             if pneed > self.positions_byte_budget:
                 return False

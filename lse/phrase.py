@@ -16,9 +16,14 @@ A term repeated in the phrase works naturally: its keys are packed once per
 slot with that slot's shift. Complexity is O(total candidate positions),
 all inside numpy.
 
-Used by the distributed per-bucket phrase kernel (lse.engine) and the local
+Positions are held FLAT — ``TermPositions = (doc_ids, counts, flat)`` where
+``flat[start_j : start_j + counts[j]]`` are doc ``doc_ids[j]``'s sorted
+positions (the layout ``codec.decode_positions_flat`` produces). Per-doc
+selection is a vectorized segment gather, never a list of per-doc arrays.
+
+Used by the distributed per-bucket phrase kernels (lse.engine) and the local
 serving tier (lse.local_exec) — the semantics and tie-breaks stay identical
-across tiers because they share this function.
+across tiers because they share this module.
 """
 
 from __future__ import annotations
@@ -27,7 +32,34 @@ from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 
-TermPositions = Tuple[np.ndarray, List[np.ndarray]]  # (doc_ids sorted, per-doc positions)
+# (doc_ids sorted, per-doc position counts, flat concatenated positions)
+TermPositions = Tuple[np.ndarray, np.ndarray, np.ndarray]
+
+_EMPTY = np.empty(0, dtype=np.int64)
+
+
+def empty_positions() -> TermPositions:
+    return _EMPTY, _EMPTY, _EMPTY
+
+
+def _ranges(counts: np.ndarray) -> np.ndarray:
+    """[0..c0), [0..c1), … concatenated — intra-segment offsets."""
+    total = int(counts.sum())
+    if total == 0:
+        return _EMPTY
+    ends = np.cumsum(counts)
+    return np.arange(total, dtype=np.int64) - np.repeat(ends - counts, counts)
+
+
+def segment_gather(
+    counts: np.ndarray, flat: np.ndarray, sel: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Select segments ``sel`` (indices into the doc axis) →
+    (sel_counts, sel_flat)."""
+    starts = np.cumsum(counts) - counts
+    sel_counts = counts[sel]
+    idx = np.repeat(starts[sel], sel_counts) + _ranges(sel_counts)
+    return sel_counts, flat[idx]
 
 
 def match_phrase(
@@ -36,14 +68,12 @@ def match_phrase(
 ) -> np.ndarray:
     """Sorted doc ids matching the adjacency chain.
 
-    ``per_term[t] = (doc_ids, pos_lists)`` — doc_ids strictly increasing,
-    ``pos_lists[j]`` the sorted positions of term ``t`` in ``doc_ids[j]``.
     Any blank term, or a term with no postings, yields an empty result
     (reference matchesPhraseInDoc semantics).
     """
     if not terms or any(not (t and t.strip()) for t in terms):
-        return np.empty(0, dtype=np.int64)
-    distinct = []
+        return _EMPTY
+    distinct: List[str] = []
     seen = set()
     for t in terms:
         if t not in seen:
@@ -51,7 +81,7 @@ def match_phrase(
             distinct.append(t)
     for t in distinct:
         if t not in per_term or per_term[t][0].size == 0:
-            return np.empty(0, dtype=np.int64)
+            return _EMPTY
 
     # 1. candidate docs: intersect doc sets, smallest first
     by_size = sorted(distinct, key=lambda t: per_term[t][0].size)
@@ -63,60 +93,61 @@ def match_phrase(
     n_terms = len(terms)
 
     def packed_keys(term: str, shift: int) -> np.ndarray:
-        """int64 keys (cand_index << 32 | pos - shift + n_terms) for the
-        term's positions restricted to candidate docs."""
-        ids, plists = per_term[term]
-        # indices of candidate docs within this term's doc array
-        ti = np.searchsorted(ids, cand)
-        counts = np.fromiter(
-            (plists[j].size for j in ti), dtype=np.int64, count=cand.size
-        )
-        total = int(counts.sum())
-        if total == 0:
-            return np.empty(0, dtype=np.int64)
-        flat = np.concatenate([plists[j] for j in ti]).astype(np.int64)
-        cidx = np.repeat(np.arange(cand.size, dtype=np.int64), counts)
-        return (cidx << np.int64(32)) | (flat - shift + n_terms)
+        ids, counts, flat = per_term[term]
+        sel = np.searchsorted(ids, cand)
+        sel_counts, sel_flat = segment_gather(counts, flat, sel)
+        if sel_flat.size == 0:
+            return _EMPTY
+        cidx = np.repeat(np.arange(cand.size, dtype=np.int64), sel_counts)
+        return (cidx << np.int64(32)) | (sel_flat - shift + n_terms)
 
     running = packed_keys(terms[0], 0)
     for i, t in enumerate(terms[1:], start=1):
         if running.size == 0:
-            return np.empty(0, dtype=np.int64)
-        keys_i = packed_keys(t, i)
-        running = running[np.isin(running, keys_i, assume_unique=False)]
+            return _EMPTY
+        running = running[np.isin(running, packed_keys(t, i))]
     if running.size == 0:
-        return np.empty(0, dtype=np.int64)
+        return _EMPTY
     matched_idx = np.unique(running >> np.int64(32))
     return cand[matched_idx]
 
 
-def merge_shards(
-    shards: List[Tuple[np.ndarray, List[np.ndarray]]],
-) -> TermPositions:
-    """Merge per-(segment) decoded position shards of ONE term into a single
-    (doc_ids, pos_lists) sorted by doc id. Shards are disjoint in doc space
-    (a doc lives in exactly one segment)."""
+def merge_shards(shards: List[TermPositions]) -> TermPositions:
+    """Merge per-(segment/bucket) decoded position shards of ONE term into a
+    single flat TermPositions sorted by doc id. Shards are disjoint in doc
+    space (a doc lives in exactly one segment; buckets are doc ranges)."""
     if not shards:
-        return np.empty(0, dtype=np.int64), []
+        return empty_positions()
     if len(shards) == 1:
         return shards[0]
     ids = np.concatenate([s[0] for s in shards])
-    plists: List[np.ndarray] = []
-    for s in shards:
-        plists.extend(s[1])
+    counts = np.concatenate([s[1] for s in shards])
+    flat = np.concatenate([s[2] for s in shards])
     order = np.argsort(ids, kind="stable")
-    return ids[order], [plists[i] for i in order]
+    sel_counts, sel_flat = segment_gather(counts, flat, order)
+    return ids[order], sel_counts, sel_flat
 
 
-def filter_tombstones(
-    tp: TermPositions, tomb: np.ndarray
-) -> TermPositions:
-    """Drop tombstoned docs from a (doc_ids, pos_lists) pair."""
-    ids, plists = tp
+def filter_docs(tp: TermPositions, keep_mask: np.ndarray) -> TermPositions:
+    ids, counts, flat = tp
+    if keep_mask.all():
+        return tp
+    keep = np.flatnonzero(keep_mask)
+    sel_counts, sel_flat = segment_gather(counts, flat, keep)
+    return ids[keep], sel_counts, sel_flat
+
+
+def filter_tombstones(tp: TermPositions, tomb: np.ndarray) -> TermPositions:
+    """Drop tombstoned docs from a TermPositions triple."""
+    ids = tp[0]
     if tomb.size == 0 or ids.size == 0:
         return tp
-    live = ~np.isin(ids, tomb)
-    if live.all():
+    return filter_docs(tp, ~np.isin(ids, tomb))
+
+
+def restrict_ids(tp: TermPositions, allowed_sorted: np.ndarray) -> TermPositions:
+    """Keep only docs present in ``allowed_sorted``."""
+    ids = tp[0]
+    if ids.size == 0:
         return tp
-    keep = np.flatnonzero(live)
-    return ids[keep], [plists[i] for i in keep]
+    return filter_docs(tp, np.isin(ids, allowed_sorted))

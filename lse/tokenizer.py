@@ -54,6 +54,7 @@ _CJK_PATTERN = (
 _CJK_RE = re.compile(f"[{_CJK_PATTERN}]")
 _CJK_RUN_RE = re.compile(f"[{_CJK_PATTERN}]+")
 _WORD_RE = re.compile(r"[a-zA-Z0-9]+")
+_WORD_LOWER_RE = re.compile(r"[a-z0-9]+")
 
 
 class Token(NamedTuple):
@@ -116,29 +117,42 @@ def tokenize_batch(
     list indices). ASCII fast path; CJK rows delegate to :func:`tokenize`.
     """
     texts = texts.fillna("")
-    has_cjk = texts.str.contains(_CJK_RUN_RE, regex=True)
-    # Extract on the ORIGINAL text ([a-zA-Z0-9]+, like the scalar path /
-    # EnglishTokenizer), THEN lowercase each token. Lowercasing first would
-    # merge tokens around characters whose lowercase maps into ASCII (e.g.
-    # U+212A KELVIN SIGN → 'k'): 'aKb' must stay 'a','b' (dropped), not 'akb'.
-    raw = texts.str.findall(_WORD_RE)
-
     stop = STOPWORDS if enable_stopwords else frozenset()
 
-    def _filter(tokens: list) -> list:
-        out = []
-        for t in tokens:
-            t = t.lower()
-            if len(t) > 1 and t not in stop:
-                out.append(t)
-        return out
+    # Three lanes, exact-equivalent to the scalar tokenizer:
+    # * pure-ASCII rows (the common case): lowercase-then-extract is safe —
+    #   ASCII case folding is 1:1 inside [a-zA-Z0-9], nothing can merge;
+    # * non-ASCII rows WITHOUT CJK: extract on the ORIGINAL text, lowercase
+    #   per token — lowering first would merge tokens around characters
+    #   whose lowercase maps into ASCII (U+212A KELVIN SIGN → 'k': 'aKb'
+    #   must stay 'a','b' (dropped), not become 'akb');
+    # * rows with CJK: the scalar composite tokenizer.
+    is_ascii = texts.map(str.isascii)
+    result = pd.Series(index=texts.index, dtype=object)
 
-    result = raw.map(_filter)
-    if has_cjk.any():
-        cjk_idx = texts.index[has_cjk]
-        result.loc[cjk_idx] = texts.loc[cjk_idx].map(
-            lambda t: [tok.term for tok in tokenize(t, enable_stopwords)]
+    def _filter(tokens: list) -> list:
+        return [t for t in tokens if len(t) > 1 and t not in stop]
+
+    fast_idx = texts.index[is_ascii]
+    if len(fast_idx):
+        result.loc[fast_idx] = (
+            texts.loc[fast_idx].str.lower().str.findall(_WORD_LOWER_RE).map(_filter)
         )
+    rest = texts.loc[~is_ascii]
+    if len(rest):
+        has_cjk = rest.str.contains(_CJK_RUN_RE, regex=True)
+
+        def _safe(text: str) -> list:
+            return _filter([m.group().lower() for m in _WORD_RE.finditer(text)])
+
+        non_cjk_idx = rest.index[~has_cjk]
+        if len(non_cjk_idx):
+            result.loc[non_cjk_idx] = rest.loc[non_cjk_idx].map(_safe)
+        cjk_idx = rest.index[has_cjk]
+        if len(cjk_idx):
+            result.loc[cjk_idx] = rest.loc[cjk_idx].map(
+                lambda t: [tok.term for tok in tokenize(t, enable_stopwords)]
+            )
     return result
 
 

@@ -39,7 +39,7 @@ def test_wand_exact_when_avgdl_below_one(spark, tmp_path):
     eng = SearchEngine(spark, d)
     assert 0.0 < float(eng.stats["avgdl"]) < 1.0
 
-    wand = eng.search_topk("needle OR haystack", 5)
+    wand = eng.search_topk("needle OR haystack", 5, strategy="wand")
     exact, _total = eng.search_result("needle OR haystack", 5, mode="spark")
     assert [d_ for d_, _ in wand] == [d_ for d_, _ in exact]
     for (_, ws), (_, es) in zip(wand, exact):

@@ -58,7 +58,7 @@ WAND_QUERIES = ["java", "java OR python", "spark OR index OR search OR engine"]
 def test_wand_topk_exact(engine_and_oracle, query):
     """Distributed block-max WAND must return exactly the exhaustive top-k."""
     engine, oracle = engine_and_oracle
-    got = engine.search_topk(query, limit=10)
+    got = engine.search_topk(query, limit=10, strategy="wand")
     want, _ = oracle.search(query, limit=10)
     assert [d for d, _ in got] == [d for d, _ in want]
     for (gd, gs), (wd, ws) in zip(got, want):
@@ -74,7 +74,7 @@ def test_wand_and_topk_exact(engine_and_oracle, query):
     """Conjunctive distributed WAND must match the oracle exactly (including
     the duplicate-term double-count semantics of the reference)."""
     engine, oracle = engine_and_oracle
-    got = engine.search_topk(query, limit=10)
+    got = engine.search_topk(query, limit=10, strategy="wand")
     want, _ = oracle.search(query, limit=10)
     assert [d for d, _ in got] == [d for d, _ in want]
     for (gd, gs), (_, ws) in zip(got, want):
@@ -83,7 +83,7 @@ def test_wand_and_topk_exact(engine_and_oracle, query):
 
 def test_wand_or_duplicate_term_multiplicity(engine_and_oracle):
     engine, oracle = engine_and_oracle
-    got = engine.search_topk("java OR java", limit=5)
+    got = engine.search_topk("java OR java", limit=5, strategy="wand")
     want, _ = oracle.search("java OR java", limit=5)
     assert [d for d, _ in got] == [d for d, _ in want]
     for (gd, gs), (_, ws) in zip(got, want):

@@ -9,7 +9,7 @@ from lse.phrase import filter_tombstones, match_phrase, merge_shards
 
 
 def build_per_term(docs: dict):
-    """docs: doc_id → list of terms (position == index)."""
+    """docs: doc_id → list of terms (position == index) → flat TermPositions."""
     per_term = {}
     for doc_id, toks in docs.items():
         for i, t in enumerate(toks):
@@ -17,7 +17,11 @@ def build_per_term(docs: dict):
     out = {}
     for t, m in per_term.items():
         ids = np.array(sorted(m), dtype=np.int64)
-        out[t] = (ids, [np.array(m[d], dtype=np.int64) for d in ids])
+        counts = np.array([len(m[d]) for d in ids], dtype=np.int64)
+        flat = np.array(
+            [p for d in ids for p in m[d]], dtype=np.int64
+        ) if counts.sum() else np.empty(0, dtype=np.int64)
+        out[t] = (ids, counts, flat)
     return out
 
 
@@ -95,11 +99,23 @@ def test_random_vs_naive(seed):
 
 
 def test_merge_shards_and_tombstones():
-    a = (np.array([1, 5], dtype=np.int64), [np.array([0]), np.array([2, 3])])
-    b = (np.array([3], dtype=np.int64), [np.array([7])])
-    ids, plists = merge_shards([a, b])
+    a = (
+        np.array([1, 5], dtype=np.int64),
+        np.array([1, 2], dtype=np.int64),
+        np.array([0, 2, 3], dtype=np.int64),
+    )
+    b = (
+        np.array([3], dtype=np.int64),
+        np.array([1], dtype=np.int64),
+        np.array([7], dtype=np.int64),
+    )
+    ids, counts, flat = merge_shards([a, b])
     assert ids.tolist() == [1, 3, 5]
-    assert [p.tolist() for p in plists] == [[0], [7], [2, 3]]
-    ids2, plists2 = filter_tombstones((ids, plists), np.array([3], dtype=np.int64))
+    assert counts.tolist() == [1, 1, 2]
+    assert flat.tolist() == [0, 7, 2, 3]
+    ids2, counts2, flat2 = filter_tombstones(
+        (ids, counts, flat), np.array([3], dtype=np.int64)
+    )
     assert ids2.tolist() == [1, 5]
-    assert [p.tolist() for p in plists2] == [[0], [2, 3]]
+    assert counts2.tolist() == [1, 2]
+    assert flat2.tolist() == [0, 2, 3]

@@ -65,9 +65,52 @@ def test_search_topk_serves_mixed_queries(eng_oracle):
 
 def test_bucket_tier_rejects_non_term_shapes(eng_oracle):
     eng, _ = eng_oracle
-    for q in ["-java", "config*", '"distributed system"', "lang:md"]:
+    for q in ["-java", "config*", "lang:md"]:
         ast = querydsl.parse(q).ast
         assert eng._serve_buckets(ast, 10) is None, q
+
+
+PHRASE_QUERIES = [
+    '"distributed system"',
+    '"machine learning"',
+    '"java programming guide"',        # 3-term
+    'lang:md AND "distributed system"',  # filter AND phrase
+    '"java java"',                      # repeated term
+    '"nosuchword here"',                # miss → empty
+]
+
+
+@pytest.mark.parametrize("query", PHRASE_QUERIES)
+def test_bucket_tier_serves_phrases(eng_oracle, query):
+    eng, oracle = eng_oracle
+    got, got_total = eng.search_result(query, 10, mode="bucket")
+    want, want_total = oracle.search(query, 10)
+    assert got_total == want_total, query
+    assert [d for d, _ in got] == [d for d, _ in want], query
+    for (gd, gs), (_, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, abs=1e-9), (query, gd)
+
+
+def test_bucket_phrase_under_tombstones(spark, tmp_path):
+    from lse.build import build_index
+    from lse.fixtures import make_repos_df
+    from lse.maintenance import delete_docs
+
+    d = str(tmp_path / "idx")
+    build_index(spark, make_repos_df(spark, n_docs=80, partitions=2), d,
+                n_buckets=2, index_partitions=2)
+    docs_pdf = spark.read.parquet(os.path.join(d, "docs")).toPandas()
+    victims = sorted(docs_pdf["doc_id"].tolist())[:12]
+    delete_docs(spark, d, victims)
+    eng = SearchEngine(spark, d)
+    oracle = OracleIndex(docs_pdf[~docs_pdf["doc_id"].isin(victims)])
+    for q in ['"distributed system"', '"machine learning"']:
+        got, got_total = eng.search_result(q, 10, mode="bucket")
+        want, want_total = oracle.search(q, 10)
+        assert got_total == want_total, q
+        assert [x for x, _ in got] == [x for x, _ in want], q
+        for (gd, gs), (_, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, abs=1e-9), (q, gd)
 
 
 def test_local_tier_declines_over_budget_and_routing_stays_exact(
@@ -102,10 +145,11 @@ def test_local_tier_accepts_within_budget(spark, fixture_index):
     eng._local = LocalExecutor(eng)  # default budgets, small corpus
     assert eng.local.can_execute(querydsl.parse("java OR python").ast)
     assert eng.local.can_execute(querydsl.parse('"distributed system"').ast)
-    # cached terms cost nothing against the budget on repeat queries
+    # routing is a pure function of query + dictionary: caching a term does
+    # NOT re-admit it once the budget drops (eval cost scales with Σ df)
     eng.local.execute("java", 10)
     eng.local.postings_byte_budget = 0
-    assert eng.local.can_execute(querydsl.parse("java").ast)
+    assert not eng.local.can_execute(querydsl.parse("java").ast)
 
 
 def test_wand_and_bucket_under_tombstones(spark, tmp_path):
