@@ -734,16 +734,34 @@ class SearchEngine:
         )[:k]
         return [(d, s + bonus) for d, s in hits], total
 
+    def cnf_groups(self, node: Node) -> Optional[List[List[str]]]:
+        """AND-of-OR-groups normalization of a pure term tree (with
+        multiplicity — reference score-sum semantics). Covers a single term
+        ([[t]]), pure OR (one group), pure AND (singleton groups), and the
+        common mixed shape ``a AND (b OR c)``; returns None for shapes with
+        AND nested under OR (the general compiler serves those)."""
+        if isinstance(node, Term):
+            return [[node.term.lower()]]
+        if isinstance(node, Bool):
+            if node.op == "AND":
+                left = self.cnf_groups(node.left)
+                right = self.cnf_groups(node.right)
+                if left is not None and right is not None:
+                    return left + right
+                return None
+            if node.op == "OR":
+                flat = self.wand_terms(node, "OR")
+                if flat is not None:
+                    return [flat]
+        return None
+
     def _core_shape(self, node: Node):
-        """('or'|'and'|'phrase', terms) when the node is bucket-servable."""
+        """('phrase', terms) | ('cnf', groups) when bucket-servable."""
         if isinstance(node, Phrase):
             return ("phrase", [(t or "").lower() for t in node.terms])
-        o = self.wand_terms(node, "OR")
-        if o is not None:
-            return ("or", o)
-        a = self.wand_terms(node, "AND")
-        if a is not None:
-            return ("and", a)
+        g = self.cnf_groups(node)
+        if g is not None:
+            return ("cnf", g)
         return None
 
     def _serve_buckets(
@@ -764,16 +782,21 @@ class SearchEngine:
             shape = self._core_shape(core)
             if shape is None:
                 return None
-        kind, terms = shape
+        kind, payload_shape = shape
         if kind == "phrase":
+            terms = payload_shape
             if any(not t.strip() for t in terms):
                 return [], 0  # blank phrase term ⇒ no match (reference)
             if self.positions is None or not terms:
                 return [], 0
             return self._serve_phrase_buckets(terms, filters, limit)
-        conjunctive = kind == "and"
-        terms = [t for t in terms if t.strip()]
-        if not terms:
+        # CNF groups: doc matches iff EVERY group has ≥1 member term present
+        # (AND of ORs); score = Σ over groups of the group's member-score
+        # sum — exactly the reference's recursive score-sum semantics
+        groups = [[t for t in g if t.strip()] for g in payload_shape]
+        if any(not g for g in groups):
+            return [], 0  # an all-blank AND branch matches nothing
+        if not groups:
             return None
         filter_ids, ok = self._collect_filter_ids(filters)
         if not ok:
@@ -782,16 +805,13 @@ class SearchEngine:
             return [], 0
         bonus = float(len(filters))
 
-        multiplicity: Dict[str, int] = {}
-        for t in terms:
-            multiplicity[t] = multiplicity.get(t, 0) + 1
-        distinct = sorted(multiplicity)
+        distinct = sorted({t for g in groups for t in g})
         dfmap = self._live_df_map(distinct)
         rows = self.postings.filter(F.col("term").isin(distinct))
         N, avgdl, k = self.N, self.avgdl, max(0, min(limit, MAX_SEARCH_LIMIT))
-        n_distinct = len(distinct)
         tomb_bc = self._tomb_bc
         fid = filter_ids
+        groups_local = [list(g) for g in groups]
 
         def kern(key, pdf: pd.DataFrame) -> pd.DataFrame:
             from .codec import raw_bm25_component
@@ -831,40 +851,34 @@ class SearchEngine:
             empty = pd.DataFrame({"kind": pd.Series(dtype="int32"),
                                   "doc_id": pd.Series(dtype="int64"),
                                   "score": pd.Series(dtype="float64")})
-            if conjunctive:
-                if len(merged) < n_distinct:
-                    return empty
-                by_size = sorted(merged, key=lambda t: merged[t][0].size)
-                cand = merged[by_size[0]][0]
-                for t in by_size[1:]:
-                    cand = np.intersect1d(cand, merged[t][0], assume_unique=True)
-                    if cand.size == 0:
-                        return empty
-                score = np.zeros(cand.size)
-                for t, (ids, tfs, dls) in merged.items():
-                    pos = np.searchsorted(ids, cand)
-                    score += (
-                        multiplicity[t]
-                        * idf_of(t)
-                        * raw_bm25_component(tfs[pos], dls[pos], avgdl)
-                    )
-                out_ids, out_scores = cand, score
-            else:
+            # per group: union-sum over member terms (duplicates add twice)
+            group_sets: List[tuple] = []
+            for g in groups_local:
                 parts_i, parts_s = [], []
-                for t, (ids, tfs, dls) in merged.items():
+                for t in g:
+                    if t not in merged:
+                        continue
+                    ids, tfs, dls = merged[t]
                     parts_i.append(ids)
-                    parts_s.append(
-                        multiplicity[t]
-                        * idf_of(t)
-                        * raw_bm25_component(tfs, dls, avgdl)
-                    )
+                    parts_s.append(idf_of(t) * raw_bm25_component(tfs, dls, avgdl))
                 if not parts_i:
-                    return empty
+                    return empty  # a whole AND branch is absent here
                 allids = np.concatenate(parts_i)
-                allscores = np.concatenate(parts_s)
-                out_ids, inv = np.unique(allids, return_inverse=True)
-                out_scores = np.zeros(out_ids.size)
-                np.add.at(out_scores, inv, allscores)
+                g_ids, inv = np.unique(allids, return_inverse=True)
+                g_scores = np.zeros(g_ids.size)
+                np.add.at(g_scores, inv, np.concatenate(parts_s))
+                group_sets.append((g_ids, g_scores))
+            # intersect groups (smallest first), summing group scores
+            group_sets.sort(key=lambda t: t[0].size)
+            cand = group_sets[0][0]
+            for g_ids, _ in group_sets[1:]:
+                cand = np.intersect1d(cand, g_ids, assume_unique=True)
+                if cand.size == 0:
+                    return empty
+            out_ids = cand
+            out_scores = np.zeros(cand.size)
+            for g_ids, g_scores in group_sets:
+                out_scores += g_scores[np.searchsorted(g_ids, cand)]
             order = np.lexsort((out_ids, -out_scores))[:k]
             return pd.DataFrame(
                 {

@@ -37,6 +37,9 @@ BUCKET_QUERIES = [
     "type:code AND (java OR python)",  # filter AND or-tree
     "size:100..900 AND java",        # range filter AND term
     "lang:md java programming",      # implicit AND chain with filter
+    "error AND (timeout OR retry)",  # CNF: term AND or-group
+    "java (python OR spark) (error OR timeout OR retry)",  # 3-group CNF
+    "lang:md AND error AND (timeout OR retry)",  # filter + CNF
 ]
 
 
