@@ -110,6 +110,39 @@ def _index_dir(sf_dir: str) -> str:
     return os.path.join(f"/tmp/lse_entry_idx_v{INDEX_FORMAT_VERSION}", safe)
 
 
+def _inc_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
+    """Engine over an INCREMENTALLY-built index: the base build indexes a
+    degraded snapshot (every doc_id % 50 == 0 has placeholder text), then
+    maintenance.apply_incremental diffs against the true documents table —
+    tombstoning the outdated docs and adding a delta segment. The logical
+    corpus afterwards must equal the raw documents table, which the DuckDB
+    oracle checks (A8 end-to-end; reference incremental semantics,
+    docs/IMPLEMENTATION_PROMPT.md:251-256)."""
+    key = (id(spark), sf_dir, "inc")
+    if key not in _ENGINE_CACHE:
+        from lse.maintenance import apply_incremental
+
+        idx = _index_dir(sf_dir) + "_inc"
+        marker = os.path.join(idx, "_INC_DONE")
+        if not os.path.exists(marker):
+            src = _docs_source(spark, sf_dir)
+            degraded = src.withColumn(
+                "content",
+                F.when(
+                    F.col("doc_id") % 50 == 0, F.lit("outdated placeholder text")
+                ).otherwise(F.col("content")),
+            )
+            build_index(
+                spark, degraded, idx,
+                precomputed_doc_id=True, n_buckets=8, index_partitions=8,
+            )
+            apply_incremental(spark, idx, src, index_partitions=8)
+            with open(marker, "w") as fh:
+                fh.write("done")
+        _ENGINE_CACHE[key] = SearchEngine(spark, idx)
+    return _ENGINE_CACHE[key]
+
+
 def _engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
     key = (id(spark), sf_dir)
     if key not in _ENGINE_CACHE:
@@ -245,6 +278,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         src = d.select("doc_id", content.alias("content"))
         td = tokenize_to_term_doc(src, with_positions=False)
         return td.select("doc_id", "term", F.col("tf").cast("long").alias("tf"))
+
+    def q_incremental_term_scores(spark, sf):
+        # delta-segment doc ids are generation-salted hashes, so compare the
+        # SCORE multiset (content-derived, id-free) against the oracle over
+        # the raw documents table — equal iff the incremental index's
+        # logical corpus is exactly the new snapshot
+        eng = _inc_engine(spark, sf)
+        from lse import querydsl
+
+        return _r6(eng.compile(querydsl.parse("spark").ast)).select("score")
+
+    def q_incremental_count(spark, sf):
+        eng = _inc_engine(spark, sf)
+        return spark.createDataFrame(
+            [(eng.search_result("spark OR query", 10)[1], eng.N)],
+            "total long, n_docs long",
+        )
 
     def q_dedup_exact(spark, sf):
         # plant exact duplicates (copy of the doc_id<20 slice) so the entry
@@ -400,6 +450,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "field_type": q_field_type,
         "phrase3": q_phrase3,
         "cjk_tokenize_tf": q_cjk_tokenize_tf,
+        "incremental_term_scores": q_incremental_term_scores,
+        "incremental_count": q_incremental_count,
         "dedup_exact": q_dedup_exact,
         "ann_cosine_topk": q_ann_cosine_topk,
         "text_quality": q_text_quality,
@@ -505,6 +557,12 @@ def oracle_sql() -> dict[str, str]:
             ),
             allt AS (SELECT * FROM pure UNION ALL SELECT * FROM mixed)
             SELECT doc_id, term, count(*) AS tf FROM allt GROUP BY 1, 2""",
+        "incremental_term_scores": _TOK_CTE
+        + "SELECT round(score, 6) AS score FROM scored WHERE term = 'spark'",
+        "incremental_count": _TOK_CTE
+        + """SELECT (SELECT count(DISTINCT doc_id) FROM tf
+                     WHERE term IN ('spark', 'query')) AS total,
+                    (SELECT count(*) FROM documents) AS n_docs""",
         "dedup_exact": """
             WITH u AS (
               SELECT text FROM documents

@@ -144,6 +144,20 @@ class EncodedPostings(NamedTuple):
     df: int
 
 
+def _varbyte_lengths(values: np.ndarray) -> np.ndarray:
+    """Encoded byte length per value (ceil(bitlen/7), min 1) — vectorized."""
+    v = np.asarray(values, dtype=np.int64).astype(np.uint64)
+    nbits = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    while True:
+        nz = tmp > 0
+        if not nz.any():
+            break
+        nbits[nz] += 7
+        tmp = tmp >> np.uint64(7)
+    return np.maximum(nbits // 7, 1)
+
+
 def encode_postings(
     doc_ids: np.ndarray,
     tfs: np.ndarray,
@@ -151,7 +165,15 @@ def encode_postings(
     avgdl: float,
     block_interval: int = BLOCK_INTERVAL,
 ) -> EncodedPostings:
-    """Compress one term's postings into the block layout described above."""
+    """Compress one term's postings into the block layout described above.
+
+    Fully vectorized: because block b's first doc-id delta is taken against
+    block b-1's LAST id, the delta stream is a plain first-difference of the
+    whole id array — so the interleaved (deltas, tfs, dls)-per-block value
+    stream is built with one reshape and encoded with ONE varbyte call;
+    per-block byte offsets come from a reduceat over vectorized varbyte
+    lengths. No per-block Python loop (it cost 3 encode calls per 128 docs
+    on hot terms)."""
     doc_ids = np.asarray(doc_ids, dtype=np.int64)
     tfs = np.asarray(tfs, dtype=np.int64)
     dls = np.asarray(dls, dtype=np.int64)
@@ -161,30 +183,57 @@ def encode_postings(
     if n == 0:
         empty = np.empty(0, dtype=np.int64)
         return EncodedPostings(b"", empty, empty, np.empty(0), 0)
+    deltas = np.empty(n, dtype=np.int64)
+    deltas[0] = doc_ids[0]
+    np.subtract(doc_ids[1:], doc_ids[:-1], out=deltas[1:])
+    if n > 1 and (deltas[1:] <= 0).any():
+        raise ValueError("encode_postings: doc_ids not strictly increasing")
+    if deltas[0] < 0:
+        raise ValueError("encode_postings: negative doc id")
     raw = raw_bm25_component(tfs, dls, avgdl)
     nblocks = (n + block_interval - 1) // block_interval
-    parts: List[bytes] = []
-    block_last = np.empty(nblocks, dtype=np.int64)
-    block_off = np.empty(nblocks, dtype=np.int64)
-    block_max = np.empty(nblocks, dtype=np.float64)
-    off = 0
-    prev_last = 0
-    for bi in range(nblocks):
-        lo = bi * block_interval
-        hi = min(lo + block_interval, n)
-        ids = doc_ids[lo:hi]
-        blob = (
-            varbyte_encode(delta_encode(ids, first_base=prev_last))
-            + varbyte_encode(tfs[lo:hi])
-            + varbyte_encode(dls[lo:hi])
+    nf, rem = divmod(n, block_interval)
+    # interleaved value stream: per block [deltas | tfs | dls]
+    if rem == 0:
+        values = np.stack(
+            [
+                deltas.reshape(nf, block_interval),
+                tfs.reshape(nf, block_interval),
+                dls.reshape(nf, block_interval),
+            ],
+            axis=1,
+        ).reshape(-1)
+    else:
+        cut = nf * block_interval
+        head = (
+            np.stack(
+                [
+                    deltas[:cut].reshape(nf, block_interval),
+                    tfs[:cut].reshape(nf, block_interval),
+                    dls[:cut].reshape(nf, block_interval),
+                ],
+                axis=1,
+            ).reshape(-1)
+            if nf
+            else np.empty(0, dtype=np.int64)
         )
-        parts.append(blob)
-        block_last[bi] = ids[-1]
-        block_off[bi] = off
-        block_max[bi] = raw[lo:hi].max()
-        off += len(blob)
-        prev_last = int(ids[-1])
-    return EncodedPostings(b"".join(parts), block_last, block_off, block_max, n)
+        values = np.concatenate([head, deltas[cut:], tfs[cut:], dls[cut:]])
+    payload = varbyte_encode(values)
+    # per-block byte offsets: reduceat over per-value encoded lengths
+    lengths = _varbyte_lengths(values)
+    starts = np.arange(nblocks, dtype=np.int64) * (3 * block_interval)
+    block_bytes = np.add.reduceat(lengths, starts)
+    block_off = np.concatenate(
+        [np.zeros(1, dtype=np.int64), np.cumsum(block_bytes)[:-1]]
+    )
+    block_last = doc_ids[
+        np.minimum(
+            np.arange(1, nblocks + 1, dtype=np.int64) * block_interval - 1, n - 1
+        )
+    ]
+    # per-block max of the raw component, vectorized over block boundaries
+    block_max = np.maximum.reduceat(raw, starts // 3)
+    return EncodedPostings(payload, block_last, block_off, block_max, n)
 
 
 def decode_postings(
@@ -226,23 +275,37 @@ def decode_postings(
 
 def encode_positions(doc_ids: np.ndarray, pos_lists) -> bytes:
     """Compress one term-shard's position index (PositionWriter.java:42-60
-    layout, numpy-vectorized): varbyte(delta(doc_ids)) + varbyte(count per
-    doc) + varbyte(per-doc delta-encoded positions, concatenated)."""
+    layout): varbyte(delta(doc_ids)) + varbyte(count per doc) +
+    varbyte(per-doc delta-encoded positions, concatenated). The per-doc
+    delta restart is vectorized: one global first-difference with the
+    segment-start entries overwritten by their absolute values — no Python
+    loop over docs."""
     doc_ids = np.asarray(doc_ids, dtype=np.int64)
     n = doc_ids.size
     if n == 0:
         return b""
     counts = np.fromiter((len(p) for p in pos_lists), dtype=np.int64, count=n)
-    if counts.sum() == 0:
-        flat = np.empty(0, dtype=np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        flat_deltas = np.empty(0, dtype=np.int64)
     else:
-        flat = np.concatenate(
-            [delta_encode(np.asarray(p, dtype=np.int64)) for p in pos_lists]
-        )
+        flat = np.concatenate([np.asarray(p, dtype=np.int64) for p in pos_lists])
+        flat_deltas = np.empty(total, dtype=np.int64)
+        flat_deltas[0] = flat[0]
+        np.subtract(flat[1:], flat[:-1], out=flat_deltas[1:])
+        starts = (np.cumsum(counts) - counts)[counts > 0]
+        flat_deltas[starts] = flat[starts]
+        # strict monotonicity within each doc's positions
+        interior = np.ones(total, dtype=bool)
+        interior[starts] = False
+        if (flat_deltas[interior] <= 0).any():
+            raise ValueError("encode_positions: positions not strictly increasing")
+        if (flat_deltas[starts] < 0).any():
+            raise ValueError("encode_positions: negative position")
     return (
         varbyte_encode(delta_encode(doc_ids))
         + varbyte_encode(counts)
-        + varbyte_encode(flat)
+        + varbyte_encode(flat_deltas)
     )
 
 
