@@ -355,6 +355,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("stop_ratio"),
         )
 
+    def q_quality_score(spark, sf):
+        from lse.textops import add_quality
+
+        d = spark.read.parquet(os.path.join(sf, "documents.parquet")).select(
+            "doc_id", F.col("text").alias("content")
+        )
+        return add_quality(d).select("doc_id", "quality")
+
+    def q_embedding_near_dups(spark, sf):
+        # plant exact duplicates (copies of vec_id < 10 at +100000) so the
+        # LSH-bucketed near-dup operator has real positives; identical
+        # vectors always share a bucket, so recall is 1 and the exact-cosine
+        # oracle is comparable
+        from lse.dedup import embedding_near_dups
+
+        e = spark.read.parquet(os.path.join(sf, "embeddings.parquet")).select(
+            "vec_id", "embedding"
+        )
+        dup = e.filter(F.col("vec_id") < 10).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+        )
+        u = e.filter(F.col("vec_id") < 1000).unionByName(dup)
+        pairs = embedding_near_dups(u, threshold=0.999, planes=8)
+        return pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+    def q_image_features(spark, sf):  # rows-only: fake decode is blake2b-seeded
+        from lse.multimodal import image_features
+
+        d = spark.read.parquet(os.path.join(sf, "documents.parquet")).select(
+            F.col("doc_id").alias("id"),
+            F.encode(F.col("text"), "utf-8").alias("payload"),
+        )
+        feats = image_features(d, backend="fake")
+        return feats.select(
+            "id", "width", "height", F.size("feature").alias("feature_dim")
+        )
+
     # ---- training-pipeline operators (lse.dedup / textops / similarity) ----
     def q_jaccard_pairs(spark, sf):
         from lse.dedup import ngram_jaccard_pairs
@@ -455,6 +492,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "ann_cosine_topk": q_ann_cosine_topk,
         "text_quality": q_text_quality,
+        "quality_score": q_quality_score,
+        "embedding_near_dups": q_embedding_near_dups,
+        "image_features": q_image_features,
         "jaccard_pairs": q_jaccard_pairs,
         "lang_id": q_lang_id,
         "token_counts": q_token_counts,
@@ -611,6 +651,51 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sa ON sa.doc_id = doc_a
             JOIN sz sb ON sb.doc_id = doc_b
             WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.05""",
+        "quality_score": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     greatest(length(text), 1)::DOUBLE AS n,
+                     list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                 w -> w <> '') AS words,
+                     length(regexp_replace(text, '[\\w\\s]', '', 'g'))::DOUBLE
+                       AS punct
+              FROM documents
+            ),
+            m AS (
+              SELECT doc_id, n, punct,
+                     greatest(len(words), 1)::DOUBLE AS n_words,
+                     len(list_filter(words, w -> w IN {_STOP_SQL}))::DOUBLE
+                       AS stops
+              FROM t
+            )
+            SELECT doc_id,
+                   round(
+                     least(n / 200.0, 1.0) * least(1.0, 50000.0 / n)
+                     * greatest(0.0, 1.0 - 4.0 * (punct / n))
+                     * (CASE WHEN stops / n_words > 0.05
+                              AND stops / n_words < 0.6
+                             THEN 1.0 ELSE 0.5 END)
+                     * (CASE WHEN n / n_words > 3.0 AND n / n_words < 12.0
+                             THEN 1.0 ELSE 0.6 END),
+                   6) AS quality
+            FROM m""",
+        "embedding_near_dups": """
+            WITH u AS (
+              SELECT vec_id, embedding::DOUBLE[] AS e
+              FROM embeddings WHERE vec_id < 1000
+              UNION ALL
+              SELECT vec_id + 100000, embedding::DOUBLE[]
+              FROM embeddings WHERE vec_id < 10
+            ),
+            pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     list_dot_product(a.e, b.e)
+                       / (sqrt(list_dot_product(a.e, a.e))
+                          * sqrt(list_dot_product(b.e, b.e))) AS cos
+              FROM u a JOIN u b ON a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b, round(cos, 4) AS cosine
+            FROM pairs WHERE cos >= 0.999""",
         "lang_id": f"""
             SELECT doc_id, CASE
               WHEN length(regexp_replace(substring(text, 1, 2000),
