@@ -41,7 +41,7 @@ from . import querydsl
 from .codec import decode_postings
 from .constants import BM25_B, BM25_K1, MAX_SEARCH_LIMIT
 from .querydsl import Bool, Field, Node, Not, Phrase, Prefix, Range, Term
-from .wand import TermCursor, wand_topk, wand_topk_and
+from .wand import TermCursor, wand_topk, wand_topk_and, wand_topk_bulk
 
 _DECODED_SCHEMA = T.StructType(
     [
@@ -922,14 +922,14 @@ class SearchEngine:
         """Distributed top-k.
 
         strategy='auto' serves through the bucket tier (vectorized
-        decode+score per doc-range bucket) — measured faster than lazy WAND
-        whenever score variance is low, because WAND's document-at-a-time
-        pivot loop runs in Python while the bucket kernel scores whole
-        shards in numpy. strategy='wand' forces the lazy block-max WAND
-        kernel (block-skipping pays off when per-block score bounds vary —
-        rare terms mixed with hot ones — and it decodes only the blocks it
-        cannot prune). Both are exact and rank-identical; tests pin them to
-        the exhaustive scorer."""
+        decode+score per doc-range bucket) — fastest whenever score variance
+        is low and nothing can be pruned. strategy='wand' forces the
+        block-max kernels: the range-bulk BMW variant for OR (block-bound
+        pruning + vectorized scoring of unpruned ranges) and document-at-a-
+        time intersection for AND — these win when per-block score bounds
+        vary (rare terms mixed with hot ones) so whole ranges prune. All
+        paths are exact and rank-identical; tests pin them to the
+        exhaustive scorer."""
         limit = max(0, min(limit, MAX_SEARCH_LIMIT))
         result = querydsl.parse(query)
         or_terms = self.wand_terms(result.ast, "OR")
@@ -982,7 +982,9 @@ class SearchEngine:
                 else:
                     hits = wand_topk_and(cursors, k, avgdl)
             else:
-                hits = wand_topk(cursors, k, avgdl)
+                # range-bulk block-max kernel: same pruning bound as classic
+                # WAND, vectorized scoring over each unpruned range
+                hits = wand_topk_bulk(cursors, k, avgdl)
             return pd.DataFrame(
                 {
                     "doc_id": pd.Series([h[0] for h in hits], dtype="int64"),

@@ -253,6 +253,79 @@ def wand_topk_and(
                 return top.items()
 
 
+def wand_topk_bulk(
+    cursors: Sequence[TermCursor],
+    k: int,
+    avgdl: float,
+) -> List[Tuple[int, float]]:
+    """Exact disjunctive top-k with block-max pruning at RANGE granularity.
+
+    Classic WAND advances one document per iteration in Python; this kernel
+    advances one BLOCK-ALIGNED RANGE per iteration: the range
+    ``[min cur_doc, min current-block last]`` is either skipped whole (the
+    summed per-block upper bounds cannot beat the running threshold — no
+    bytes of it are ever decoded) or scored whole in vectorized numpy and
+    bulk-merged into the top-k arrays. Same pruning invariant as block-max
+    WAND (a range is only skipped when its upper bound ≤ θ), so the result
+    is exactly the exhaustive scorer's top-k; iterations scale with the
+    densest term's block count, not its document count."""
+    live = [c for c in cursors if not c.exhausted]
+    top_ids = np.empty(0, dtype=np.int64)
+    top_scores = np.empty(0, dtype=np.float64)
+    theta = float("-inf")
+    while live:
+        start = min(c.cur_doc() for c in live)
+        end = min(c.cur_block_last() for c in live)
+        ub = sum(
+            c.cur_block_max_score() for c in live if c.cur_doc() <= end
+        )
+        if ub <= theta:
+            nxt = []
+            for c in live:
+                c.seek(end + 1)
+                if not c.exhausted:
+                    nxt.append(c)
+            live = nxt
+            continue
+        parts_i: List[np.ndarray] = []
+        parts_s: List[np.ndarray] = []
+        nxt = []
+        for c in live:
+            lo = c.pos
+            hi = int(np.searchsorted(c.ids, end, side="right"))
+            if hi > lo:
+                ids = c.ids[lo:hi]
+                parts_i.append(ids)
+                parts_s.append(
+                    c.idf
+                    * raw_bm25_component(c.tfs[lo:hi], c.dls[lo:hi], avgdl)
+                )
+            c.pos = hi
+            if hi >= len(c.ids):
+                if c.bi + 1 >= c.n_blocks:
+                    c.exhausted = True
+                else:
+                    c._load_block(c.bi + 1)
+            if not c.exhausted:
+                nxt.append(c)
+        live = nxt
+        if not parts_i:
+            continue
+        allids = np.concatenate(parts_i)
+        uniq, inv = np.unique(allids, return_inverse=True)
+        summed = np.zeros(uniq.size)
+        np.add.at(summed, inv, np.concatenate(parts_s))
+        top_ids = np.concatenate([top_ids, uniq])
+        top_scores = np.concatenate([top_scores, summed])
+        if top_ids.size > k:
+            order = np.lexsort((top_ids, -top_scores))[:k]
+            top_ids, top_scores = top_ids[order], top_scores[order]
+        if top_ids.size >= k:
+            theta = float(top_scores.min())
+    order = np.lexsort((top_ids, -top_scores))[:k]
+    return [(int(top_ids[i]), float(top_scores[i])) for i in order]
+
+
 def exhaustive_scores(
     term_rows: Dict[str, list],
     n_docs: int,

@@ -30,21 +30,59 @@ def cursors_and_rows(rng, specs, N, avgdl):
     return cursors, rows
 
 
+@pytest.mark.parametrize("kernel_name", ["classic", "bulk"])
 @pytest.mark.parametrize("seed", [0, 1, 2, 3])
 @pytest.mark.parametrize("specs", [
     [5], [50, 400], [1000, 1000, 10], [2000, 700, 300, 40, 5],
 ])
-def test_wand_exact_vs_exhaustive(seed, specs):
+def test_wand_exact_vs_exhaustive(seed, specs, kernel_name):
+    from lse.wand import wand_topk_bulk
+
+    kernel = wand_topk if kernel_name == "classic" else wand_topk_bulk
     rng = np.random.default_rng(seed)
     N, avgdl, k = 5000, 120.0, 10
     cursors, rows = cursors_and_rows(rng, specs, N, avgdl)
-    got = wand_topk(cursors, k, avgdl)
+    got = kernel(cursors, k, avgdl)
     ids, scores = exhaustive_scores(rows, N, avgdl)
     want = topk_from_scores(ids, scores, k)
     assert [d for d, _ in got] == [d for d, _ in want]
     np.testing.assert_allclose(
         [s for _, s in got], [s for _, s in want], atol=1e-12
     )
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_wand_bulk_skewed_and_ties(seed):
+    from lse.wand import wand_topk_bulk
+
+    rng = np.random.default_rng(seed)
+    N, avgdl, k = 50_000, 80.0, 7
+    # skewed: one huge flat list + one tiny list of dominant scorers, plus
+    # uniform tf/dl ties to exercise the (score desc, doc_id asc) tie-break
+    ids_a = np.arange(0, 30_000, 3, dtype=np.int64)
+    enc_a = encode_postings(
+        ids_a, np.ones(ids_a.size, dtype=np.int64),
+        np.full(ids_a.size, 200, dtype=np.int64), avgdl=avgdl,
+    )
+    ids_b = np.sort(rng.choice(30_000, size=5, replace=False)).astype(np.int64)
+    enc_b = encode_postings(
+        ids_b, np.full(5, 9, dtype=np.int64), np.full(5, 10, dtype=np.int64),
+        avgdl=avgdl,
+    )
+    cursors = [
+        TermCursor(enc_a.payload, enc_a.block_last_doc, enc_a.block_offset,
+                   enc_a.block_max_raw, enc_a.df, idf_fn(enc_a.df, N)),
+        TermCursor(enc_b.payload, enc_b.block_last_doc, enc_b.block_offset,
+                   enc_b.block_max_raw, enc_b.df, idf_fn(enc_b.df, N)),
+    ]
+    rows = {
+        "a": [(enc_a.payload, enc_a.df, enc_a.df)],
+        "b": [(enc_b.payload, enc_b.df, enc_b.df)],
+    }
+    got = wand_topk_bulk(cursors, k, avgdl)
+    ids, scores = exhaustive_scores(rows, N, avgdl)
+    want = topk_from_scores(ids, scores, k)
+    assert got == [(int(d), pytest.approx(s, abs=1e-12)) for d, s in want]
 
 
 def test_wand_k_larger_than_matches():
