@@ -218,6 +218,8 @@ class SearchEngine:
         self.doc_stats.count()
         self.local._load_dictionary()
         self.local._load_pos_dictionary()
+        if self.N <= self.local.meta_limit:
+            self.local.meta()  # pre-pay the one-time metadata collect
         return self
 
     def _serving_conf(self):
@@ -734,14 +736,46 @@ class SearchEngine:
         )[:k]
         return [(d, s + bonus) for d, s in hits], total
 
+    def _expand_prefix(self, prefix: str) -> Optional[List[str]]:
+        """Dictionary range scan [prefix, prefix+0xFFFF) → matching terms
+        (DictionaryReader.java:95-102). Uses the local tier's in-memory
+        dictionary when available, else one term-pruned distinct scan.
+        None = expansion too large / unavailable (compiler serves it)."""
+        cap = 10_000
+        if self.local._load_dictionary():
+            arr = self.local._dict_terms
+            a = int(np.searchsorted(arr, prefix, side="left"))
+            b = int(np.searchsorted(arr, prefix + "￿", side="left"))
+            if b - a > cap:
+                return None
+            return [str(t) for t in arr[a:b]]
+        rows = (
+            self.postings.filter(F.col("term").startswith(prefix))
+            .select("term").distinct().limit(cap + 1).collect()
+        )
+        if len(rows) > cap:
+            return None
+        return [r["term"] for r in rows]
+
     def cnf_groups(self, node: Node) -> Optional[List[List[str]]]:
         """AND-of-OR-groups normalization of a pure term tree (with
         multiplicity — reference score-sum semantics). Covers a single term
-        ([[t]]), pure OR (one group), pure AND (singleton groups), and the
-        common mixed shape ``a AND (b OR c)``; returns None for shapes with
-        AND nested under OR (the general compiler serves those)."""
+        ([[t]]), pure OR (one group), pure AND (singleton groups), the
+        common mixed shape ``a AND (b OR c)``, and Prefix leaves (expanded
+        into an OR-group via the dictionary — prefix scoring IS a per-doc
+        score sum over matching terms, QueryEngine.java:244-259); returns
+        None for shapes with AND nested under OR (the general compiler
+        serves those)."""
         if isinstance(node, Term):
             return [[node.term.lower()]]
+        if isinstance(node, Prefix):
+            p = node.prefix.lower()
+            if not p.strip():
+                return [[]]  # blank prefix matches nothing
+            exp = self._expand_prefix(p)
+            if exp is None:
+                return None
+            return [exp]  # may be [] → empty AND branch → no matches
         if isinstance(node, Bool):
             if node.op == "AND":
                 left = self.cnf_groups(node.left)

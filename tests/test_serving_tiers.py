@@ -40,6 +40,10 @@ BUCKET_QUERIES = [
     "error AND (timeout OR retry)",  # CNF: term AND or-group
     "java (python OR spark) (error OR timeout OR retry)",  # 3-group CNF
     "lang:md AND error AND (timeout OR retry)",  # filter + CNF
+    "config*",                       # prefix → dictionary-expanded OR-group
+    "config* AND java",              # prefix AND term
+    "lang:md AND config*",           # filter AND prefix
+    "zzzznope*",                     # prefix with empty expansion → 0 rows
 ]
 
 
@@ -68,7 +72,7 @@ def test_search_topk_serves_mixed_queries(eng_oracle):
 
 def test_bucket_tier_rejects_non_term_shapes(eng_oracle):
     eng, _ = eng_oracle
-    for q in ["-java", "config*", "lang:md"]:
+    for q in ["-java", "lang:md", "java OR config*"]:
         ast = querydsl.parse(q).ast
         assert eng._serve_buckets(ast, 10) is None, q
 
