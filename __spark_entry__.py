@@ -102,7 +102,7 @@ def _docs_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-INDEX_FORMAT_VERSION = 3  # bump when the on-disk layout changes
+INDEX_FORMAT_VERSION = 4  # bump when the on-disk layout changes
 
 
 def _index_dir(sf_dir: str) -> str:

@@ -10,9 +10,9 @@ Stage graph (each arrow a Catalyst-planned job):
     └─ stage "term_doc"  tokenize + PER-DOC tf/positions pre-agg  (narrow!)
     └─ stage "stats"     N, avgdl                                 (tiny agg)
     └─ stage "doc_stats" per-doc token_count + metadata           (1 shuffle)
-    └─ stage "postings"  groupBy(term, bucket) → encode blocks    (1 shuffle)
-       stage "positions" (term, bucket, doc_id, positions)        (co-written)
-    └─ stage "manifest"  per-file lineage rows
+    └─ stage "postings"  groupBy(term, bucket) → posting AND
+                         position shards co-encoded in one pass   (1 shuffle)
+    └─ stage "manifest"  per-file lineage rows + sha256
 
 Skew handling (explicit, per the scale contract): postings are sharded over
 fixed GLOBAL doc-id-range buckets — ``bucket = doc_id >> (63-log2 B)`` for
@@ -59,6 +59,10 @@ TERM_DOC_SCHEMA = T.StructType(
     ]
 )
 
+# one row per (term, doc-range bucket): the compressed posting shard AND —
+# when positions are on — the compressed position shard, co-written from ONE
+# shuffle. Parquet column pruning means posting-only readers never touch
+# pos_payload bytes; the positions "table" is a projection of this one.
 POSTINGS_SCHEMA = T.StructType(
     [
         T.StructField("term", T.StringType()),
@@ -71,6 +75,8 @@ POSTINGS_SCHEMA = T.StructType(
         T.StructField("block_offset", T.ArrayType(T.LongType())),
         T.StructField("block_max_raw", T.ArrayType(T.DoubleType())),
         T.StructField("max_raw", T.DoubleType()),
+        T.StructField("pos_n_docs", T.LongType()),
+        T.StructField("pos_payload", T.BinaryType()),
     ]
 )
 
@@ -168,36 +174,10 @@ def tokenize_to_term_doc(docs: DataFrame, enable_stopwords: bool = True,
     return out.select("doc_id", "term", "tf", "dl", "positions")
 
 
-POSITIONS_TABLE_SCHEMA = T.StructType(
-    [
-        T.StructField("term", T.StringType()),
-        T.StructField("bucket", T.IntegerType()),
-        T.StructField("n_docs", T.LongType()),
-        T.StructField("payload", T.BinaryType()),
-    ]
-)
-
-
-def _encode_position_groups(key, pdf: pd.DataFrame) -> pd.DataFrame:
-    from .codec import encode_positions
-
-    term, bucket = key
-    pdf = pdf.sort_values("doc_id")
-    payload = encode_positions(
-        pdf["doc_id"].to_numpy(dtype=np.int64), list(pdf["positions"])
-    )
-    return pd.DataFrame(
-        {
-            "term": [term],
-            "bucket": [bucket],
-            "n_docs": [len(pdf)],
-            "payload": [payload],
-        }
-    )
-
-
-def _encode_groups(avgdl: float):
+def _encode_groups(avgdl: float, with_positions: bool):
     def encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        from .codec import encode_positions
+
         term, bucket = key
         pdf = pdf.sort_values("doc_id")
         ids = pdf["doc_id"].to_numpy(dtype=np.int64)
@@ -207,6 +187,12 @@ def _encode_groups(avgdl: float):
             pdf["dl"].to_numpy(dtype=np.int64),
             avgdl=avgdl,
         )
+        if with_positions:
+            pos_payload = encode_positions(ids, list(pdf["positions"]))
+            pos_n = len(pdf)
+        else:
+            pos_payload = None
+            pos_n = 0
         return pd.DataFrame(
             {
                 "term": [term],
@@ -219,6 +205,8 @@ def _encode_groups(avgdl: float):
                 "block_offset": [enc.block_offset.tolist()],
                 "block_max_raw": [enc.block_max_raw.tolist()],
                 "max_raw": [float(enc.block_max_raw.max())],
+                "pos_n_docs": [pos_n],
+                "pos_payload": [pos_payload],
             }
         )
 
@@ -379,6 +367,12 @@ def build_index(
         return None
 
     # ------------------------------------------------------ stage: postings
+    # ONE groupBy(term, bucket) shuffle produces BOTH the posting shard and
+    # (when enabled) the position shard of every (term, bucket) — the
+    # reference writes .inv and .pos from the same in-memory segment
+    # (docs/PROJECT_SPEC.md:104-145); co-writing them here halves the
+    # build's shuffle volume, and parquet column pruning keeps posting-only
+    # scans from ever reading position bytes.
     if not committed("postings"):
         # block maxima MUST be encoded with the same avgdl the engine scores
         # with (engine floors avgdl at 1.0, QueryEngine.java:66-67); encoding
@@ -386,30 +380,17 @@ def build_index(
         # prune blocks containing true top-k docs
         score_avgdl = max(float(stats["avgdl"]), 1.0)
         enc = (
-            term_doc.select("term", "bucket", "doc_id", "tf", "dl")
+            term_doc.select("term", "bucket", "doc_id", "tf", "dl", "positions")
             .groupBy("term", "bucket")
-            .applyInPandas(_encode_groups(score_avgdl), POSTINGS_SCHEMA)
+            .applyInPandas(
+                _encode_groups(score_avgdl, with_positions), POSTINGS_SCHEMA
+            )
         )
         df_global = enc.groupBy("term").agg(F.sum("df_shard").alias("df"))
         postings = enc.join(df_global, "term")
         commit("postings", postings, partition_cols=["term", "bucket"],
                sort_cols=["term", "bucket"], how="range")
     if stop_requested("postings"):
-        return None
-
-    # ----------------------------------------------------- stage: positions
-    # compressed per (term, bucket): delta+varbyte doc ids, per-doc counts,
-    # per-doc delta-encoded positions (PositionWriter.java:42-60 layout) —
-    # one row per shard instead of one per (term, doc)
-    if with_positions and not committed("positions"):
-        positions = (
-            term_doc.select("term", "bucket", "doc_id", "positions")
-            .groupBy("term", "bucket")
-            .applyInPandas(_encode_position_groups, POSITIONS_TABLE_SCHEMA)
-        )
-        commit("positions", positions, partition_cols=["term", "bucket"],
-               sort_cols=["term", "bucket"], how="range")
-    if stop_requested("positions"):
         return None
 
     # ------------------------------------------------------ stage: manifest

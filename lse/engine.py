@@ -135,9 +135,10 @@ class SearchEngine:
                 self.stats, n_docs=int(agg["n"]), total_tokens=int(agg["t"] or 0),
                 avgdl=(float(agg["t"] or 0) / agg["n"]) if agg["n"] else 0.0,
             )
-        self.positions = (
-            union_tables("positions") if self.stats.get("with_positions") else None
-        )
+        # positions are CO-WRITTEN columns of the postings table (one build
+        # shuffle, parquet column pruning for posting-only scans); the
+        # "positions table" downstream code reads is this projection
+        self.positions = self._positions_view()
         # tombstones: deleted docs are excluded live, and N/avgdl shrink to
         # the live corpus — matching the reference's live-doc filtering
         # (QueryEngine.java:435-443) where deletes update the DocumentTable
@@ -174,6 +175,16 @@ class SearchEngine:
             self.avgdl = max(float(self.stats["avgdl"]), 1.0)
         self._local = None
 
+    def _positions_view(self) -> Optional[DataFrame]:
+        if not self.stats.get("with_positions"):
+            return None
+        return self.postings.filter(F.col("pos_payload").isNotNull()).select(
+            "term",
+            "bucket",
+            F.col("pos_n_docs").alias("n_docs"),
+            F.col("pos_payload").alias("payload"),
+        )
+
     @property
     def local(self):
         """Lazy low-latency serving tier (lse.local_exec)."""
@@ -207,13 +218,9 @@ class SearchEngine:
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         self.postings.count()
-        if self.positions is not None:
-            self.positions = (
-                self.positions.repartition(n_buckets, "bucket")
-                .sortWithinPartitions("term")
-                .persist(StorageLevel.MEMORY_AND_DISK)
-            )
-            self.positions.count()
+        # the positions view projects the SAME cached table — re-derive it
+        # so it scans the persisted copy (no second cache)
+        self.positions = self._positions_view()
         self.doc_stats = self.doc_stats.persist(StorageLevel.MEMORY_AND_DISK)
         self.doc_stats.count()
         self.local._load_dictionary()
@@ -617,13 +624,12 @@ class SearchEngine:
     def _serve_phrase_buckets(
         self, terms: List[str], filters: List[Node], limit: int
     ) -> Optional[Tuple[List[Tuple[int, float]], int]]:
-        """Phrase serving in ONE cogrouped job: per doc-range bucket the
-        kernel gets BOTH the phrase terms' position blobs and their posting
-        blobs (buckets are aligned across the two tables by construction),
-        runs the vectorized adjacency matcher, scores the matches with
-        member-term BM25, and emits bucket top-k + exact count. Replaces
-        the compile tier's positions-kernel + score-join + count chain
-        (3 jobs) with a single stage for the latency path."""
+        """Phrase serving in ONE job: positions are co-written columns of
+        the postings table, so a single ``groupBy(bucket)`` hands the kernel
+        BOTH blobs of every (term, bucket). The kernel runs the vectorized
+        adjacency matcher, scores matches with member-term BM25, and emits
+        bucket top-k + exact count — replacing the compile tier's
+        positions-kernel + score-join + count chain (3 jobs)."""
         fid, ok = self._collect_filter_ids(filters)
         if not ok:
             return None
@@ -632,11 +638,9 @@ class SearchEngine:
         bonus = float(len(filters))
         distinct = sorted(set(terms))
         dfmap = self._live_df_map(distinct)
-        post = self.postings.filter(F.col("term").isin(distinct)).select(
-            "term", "bucket", "payload", "df_shard", "df"
-        )
-        pos = self.positions.filter(F.col("term").isin(distinct)).select(
-            "term", "bucket", "n_docs", "payload"
+        rows = self.postings.filter(F.col("term").isin(distinct)).select(
+            "term", "bucket", "payload", "df_shard", "df",
+            "pos_n_docs", "pos_payload",
         )
         N, avgdl = self.N, self.avgdl
         k = max(0, min(limit, MAX_SEARCH_LIMIT))
@@ -644,7 +648,7 @@ class SearchEngine:
         terms_local = list(terms)
         n_distinct = len(distinct)
 
-        def kern(key, post_pdf: pd.DataFrame, pos_pdf: pd.DataFrame) -> pd.DataFrame:
+        def kern(key, pdf: pd.DataFrame) -> pd.DataFrame:
             from .codec import decode_positions_flat, raw_bm25_component
             from .phrase import (
                 filter_tombstones,
@@ -661,24 +665,13 @@ class SearchEngine:
                     "score": pd.Series(dtype="float64"),
                 }
             )
-            shards: Dict[str, list] = {}
-            for r in pos_pdf.itertuples(index=False):
-                shards.setdefault(r.term, []).append(
-                    decode_positions_flat(bytes(r.payload), int(r.n_docs))
-                )
-            per_term: Dict[str, tuple] = {}
-            for t, s in shards.items():
-                tp = filter_tombstones(merge_shards(s), tomb)
-                if fid is not None:
-                    tp = restrict_ids(tp, fid)
-                per_term[t] = tp
-            matched = match_phrase(terms_local, per_term)
-            if matched.size == 0:
-                return empty
-            merged: Dict[str, tuple] = {}
-            row_df: Dict[str, int] = {}
+            pos_shards: Dict[str, list] = {}
             pshards: Dict[str, list] = {}
-            for r in post_pdf.itertuples(index=False):
+            row_df: Dict[str, int] = {}
+            for r in pdf.itertuples(index=False):
+                pos_shards.setdefault(r.term, []).append(
+                    decode_positions_flat(bytes(r.pos_payload), int(r.pos_n_docs))
+                )
                 ids, tfs, dls = decode_postings(bytes(r.payload), int(r.df_shard))
                 if tomb.size:
                     live = ~np.isin(ids, tomb)
@@ -688,6 +681,16 @@ class SearchEngine:
                     ids, tfs, dls = ids[m], tfs[m], dls[m]
                 pshards.setdefault(r.term, []).append((ids, tfs, dls))
                 row_df[r.term] = int(r.df)
+            per_term: Dict[str, tuple] = {}
+            for t, s in pos_shards.items():
+                tp = filter_tombstones(merge_shards(s), tomb)
+                if fid is not None:
+                    tp = restrict_ids(tp, fid)
+                per_term[t] = tp
+            matched = match_phrase(terms_local, per_term)
+            if matched.size == 0:
+                return empty
+            merged: Dict[str, tuple] = {}
             for t, s in pshards.items():
                 if len(s) == 1:
                     merged[t] = s[0]
@@ -698,7 +701,7 @@ class SearchEngine:
                     order = np.argsort(ids, kind="stable")
                     merged[t] = (ids[order], tfs[order], dls[order])
             if len(merged) < n_distinct:
-                return empty  # postings/positions co-write invariant broken
+                return empty
 
             score = np.zeros(matched.size)
             for t in terms_local:  # per occurrence — duplicates add twice
@@ -724,10 +727,7 @@ class SearchEngine:
 
         with self._serving_conf():
             coll = (
-                post.groupBy("bucket")
-                .cogroup(pos.groupBy("bucket"))
-                .applyInPandas(kern, _SERVE_SCHEMA)
-                .collect()
+                rows.groupBy("bucket").applyInPandas(kern, _SERVE_SCHEMA).collect()
             )
         total = sum(int(r["doc_id"]) for r in coll if r["kind"] == 1)
         hits = sorted(

@@ -14,7 +14,7 @@ from lse.oracle import OracleIndex
 
 def test_stage_artifacts_exist(spark, fixture_index):
     index_dir, _ = fixture_index
-    for stage in ("docs", "stats", "doc_stats", "postings", "positions", "manifest"):
+    for stage in ("docs", "stats", "doc_stats", "postings", "manifest"):
         assert os.path.exists(os.path.join(index_dir, stage, "_SUCCESS")), stage
 
 
@@ -87,7 +87,12 @@ def test_positions_match_oracle(spark, fixture_index):
 
     index_dir, docs_pdf = fixture_index
     oracle = OracleIndex(docs_pdf)
-    pos_rows = spark.read.parquet(os.path.join(index_dir, "positions")).collect()
+    # positions are co-written columns of the postings table
+    pos_rows = (
+        spark.read.parquet(os.path.join(index_dir, "postings"))
+        .selectExpr("term", "pos_n_docs AS n_docs", "pos_payload AS payload")
+        .collect()
+    )
     got = {}
     for r in pos_rows:
         ids, plists = decode_positions_blob(bytes(r["payload"]), r["n_docs"])
