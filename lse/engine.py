@@ -1,20 +1,31 @@
-"""Query execution: AST → DataFrame plan compiler + WAND top-k paths.
+"""Query execution: AST → the serving tiers over one on-disk index.
 
-Two execution strategies over the same on-disk index:
+Four tiers, auto-routed by :meth:`SearchEngine.search_result`:
 
-* :meth:`SearchEngine.compile` — every DSL node becomes a declarative
-  DataFrame expression (Catalyst optimizes, filters push down to the
-  term-sorted parquet scan). Scoring runs in Spark SQL (JVM codegen, the
-  same ``Math.log`` the reference uses). This is the general path: it
-  supports the full AST (boolean, NOT, field, range, phrase, prefix, sort
-  directives) and arbitrarily large results.
+* **local** (lse.local_exec) — driver-side numpy; admitted only when the
+  query's postings/positions payload fits the byte budgets (routing
+  dictionary lookup), so a hot-df term can never OOM the driver.
 
-* :meth:`SearchEngine.search_topk` — the latency path for pure
-  term/OR-of-terms queries: the handful of (term, bucket) posting shards is
-  scored document-at-a-time with block-max WAND (lse.wand) inside
-  ``applyInPandas`` grouped by doc-range bucket (buckets are aligned across
-  terms by construction), then the per-bucket top-k lists fold into the
-  global top-k. Rank-safe — returns exactly the exhaustive scorer's top-k.
+* **bucket** (:meth:`SearchEngine._serve_buckets`) — CNF term queries
+  (AND-of-OR-groups, with Prefix leaves expanded via the dictionary) and
+  phrases, optionally AND-ed with metadata filters: ONE ``applyInPandas``
+  per doc-range bucket does decode → numpy BM25 → bucket top-k + exact
+  match count; the driver folds k·B rows. Exact under tombstones and
+  delta segments via a live-df map.
+
+* **WAND** (:meth:`SearchEngine.search_topk` with ``strategy="wand"``) —
+  block-max kernels (lse.wand): range-bulk BMW for OR, document-at-a-time
+  intersection for AND; per-128-doc bounds prune whole ranges.
+
+* **compiler** (:meth:`SearchEngine.compile`) — every DSL node becomes a
+  declarative DataFrame expression (Catalyst optimizes, filters push down
+  to the term-sorted parquet scan; BM25 runs in Spark SQL codegen). The
+  general path: full AST (boolean, NOT, field, range, phrase, prefix,
+  sort directives) and arbitrarily large results; the tier the DuckDB
+  oracle validates.
+
+All tiers are rank-identical and score-equal (±1e-9) to each other and to
+the reference replica (lse.oracle).
 
 Semantics parity map (reference QueryEngine.java):
   Term :211-242   Prefix :244-259  Phrase :261-341  Bool :194-207

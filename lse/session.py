@@ -28,7 +28,11 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", os.environ.get("LSE_DRIVER_MEM", "8g"))
+        # local mode: driver heap IS the executor heap. An 8g default made
+        # the 32-thread build SLOWER than 8 threads at 1M+ docs (GC storm +
+        # cache eviction while persisting term_doc under 32 concurrent
+        # tasks); the box has 128 GiB — give the JVM room.
+        .config("spark.driver.memory", os.environ.get("LSE_DRIVER_MEM", "48g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
     )
