@@ -398,7 +398,7 @@ def build_index(
         post = spark.read.parquet(_stage_dir(index_dir, "postings"))
         lineage = (
             post.select(
-                _norm_file(F.input_file_name()).alias("file"),
+                _norm_file(F.input_file_name(), uri_encoded=True).alias("file"),
                 "term",
                 "bucket",
                 "df_shard",
@@ -448,9 +448,19 @@ def build_index(
     )
 
 
-def _norm_file(col):
-    """Strip the URI scheme so input_file_name() and binaryFile paths agree."""
-    return F.regexp_replace(col, "^file:/*", "/")
+def _norm_file(col, uri_encoded: bool = False):
+    """Normalize a file path column to the RAW filesystem path.
+
+    ``input_file_name()`` returns a URI-ENCODED path (space → %20) while the
+    binaryFile source's ``path`` is raw — joining them unfixed silently
+    null-joins every file under an index_dir containing a space/percent.
+    Pass ``uri_encoded=True`` for input_file_name(); the %XX escapes are
+    decoded (with '+' pre-escaped so url_decode's form-encoding rule can't
+    corrupt a literal plus)."""
+    col = F.regexp_replace(col, "^file:/*", "/")
+    if uri_encoded:
+        col = F.url_decode(F.regexp_replace(col, r"\+", "%2B"))
+    return col
 
 
 def _file_shas(spark: SparkSession, index_dir: str) -> DataFrame:
@@ -480,13 +490,19 @@ def verify_index(spark: SparkSession, index_dir: str) -> List[dict]:
     return the corrupt payload."""
     import glob
     import hashlib
+    from urllib.parse import unquote
 
-    manifest = {
-        r["file"]: r["file_sha256"]
-        for r in spark.read.parquet(_stage_dir(index_dir, "manifest"))
+    # manifest `file` paths are raw filesystem paths (_norm_file decodes the
+    # input_file_name URI escapes at build time); unquote() is a no-op for
+    # them but repairs manifests written before that fix (space → %20)
+    manifest = {}
+    for r in (
+        spark.read.parquet(_stage_dir(index_dir, "manifest"))
         .select("file", "file_sha256")
         .collect()
-    }
+    ):
+        f = r["file"]
+        manifest[f if os.path.exists(f) else unquote(f)] = r["file_sha256"]
     current = sorted(
         os.path.abspath(p)
         for p in glob.glob(

@@ -86,6 +86,14 @@ def ngram_jaccard_pairs(
     shingle universe: intersections AND set sizes are both computed after
     the stop-shingle filter, so the approximation is self-consistent
     (inter ≤ sizes always; no silent underestimation from mixing universes).
+
+    Direction caveat (exact-oracle comparisons are only valid while NO
+    shingle hits the cap): dropping a shingle present in only one doc of a
+    pair RAISES the pair's rare-universe Jaccard above its true Jaccard —
+    deliberately recall-preserving for dedup candidate generation (a pair
+    sharing rare content is surfaced even when one side carries lots of
+    boilerplate); dropping a SHARED shingle lowers it. Pinned by
+    tests/test_advice_fixes.py::test_jaccard_cap_binding_direction.
     """
     sh = token_ngrams(df, col, n).cache()
     rare = (

@@ -38,6 +38,7 @@ tie-break (SURVEY.md §2.5).
 from __future__ import annotations
 
 import os
+import threading
 from datetime import datetime, timezone
 from functools import reduce
 from typing import Dict, Iterable, List, Optional, Sequence, Tuple
@@ -51,8 +52,16 @@ from pyspark.sql import types as T
 from . import querydsl
 from .codec import decode_postings
 from .constants import BM25_B, BM25_K1, MAX_SEARCH_LIMIT
+from .ids import member_mask
 from .querydsl import Bool, Field, Node, Not, Phrase, Prefix, Range, Term
 from .wand import TermCursor, wand_topk, wand_topk_and, wand_topk_bulk
+
+# AQE toggling is session-global; concurrent serving queries must not
+# interleave their set/restore pairs (an unbalanced restore would leave AQE
+# off for a subsequent build job, or on for a serving job). Depth-counted
+# guard per SparkSession: the OUTERMOST serving query saves and restores.
+_AQE_LOCK = threading.Lock()
+_AQE_STATE: Dict[int, list] = {}  # id(session) -> [depth, saved_value]
 
 _DECODED_SCHEMA = T.StructType(
     [
@@ -244,18 +253,30 @@ class SearchEngine:
         """Context manager: disable AQE while planning a latency-path query.
         AQE's re-optimization loop costs ~0.1-0.2 s per job — worth it for
         the build's big shuffles, pure overhead for a k-row serving job on
-        pre-partitioned cached data."""
+        pre-partitioned cached data. Concurrency-safe: a depth-counted
+        per-session guard means overlapping serving queries share one
+        save/restore pair instead of interleaving theirs."""
         from contextlib import contextmanager
 
         @contextmanager
         def cm():
             key = "spark.sql.adaptive.enabled"
-            old = self.spark.conf.get(key, "true")
-            self.spark.conf.set(key, "false")
+            sid = id(self.spark)
+            with _AQE_LOCK:
+                st = _AQE_STATE.get(sid)
+                if st is None:
+                    st = _AQE_STATE[sid] = [0, self.spark.conf.get(key, "true")]
+                    self.spark.conf.set(key, "false")
+                st[0] += 1
             try:
                 yield
             finally:
-                self.spark.conf.set(key, old)
+                with _AQE_LOCK:
+                    st = _AQE_STATE[sid]
+                    st[0] -= 1
+                    if st[0] == 0:
+                        self.spark.conf.set(key, st[1])
+                        del _AQE_STATE[sid]
 
         return cm()
 
@@ -569,6 +590,8 @@ class SearchEngine:
                 tomb_bc = self._tomb_bc
 
                 def live_counts(batches: Iterable[pd.DataFrame]):
+                    from .ids import member_mask
+
                     for pdf in batches:
                         outs = []
                         for term, payload, df_shard in zip(
@@ -577,7 +600,7 @@ class SearchEngine:
                             ids, _tfs, _dls = decode_postings(
                                 bytes(payload), int(df_shard)
                             )
-                            n = int((~np.isin(ids, tomb_bc.value)).sum())
+                            n = int((~member_mask(ids, tomb_bc.value)).sum())
                             outs.append((term, n))
                         yield pd.DataFrame(outs, columns=["term", "live"])
 
@@ -632,6 +655,18 @@ class SearchEngine:
             return None, False
         return np.sort(fpdf["doc_id"].to_numpy(dtype=np.int64)), True
 
+    def _broadcast_filter_ids(self, fid: Optional[np.ndarray]):
+        """Ship the (sorted) filter-id set to executors ONCE per query via
+        sparkContext.broadcast — the same pattern as the tombstone array.
+        Returns None when there is no filter. The caller unpersists after
+        its job completes. Kernels test membership with member_mask
+        (binary search over the sorted set), never linear np.isin."""
+        if fid is None:
+            return None
+        bc = self.spark.sparkContext.broadcast(fid)
+        self._last_filter_bc = bc  # test hook: proves the broadcast path ran
+        return bc
+
     def _serve_phrase_buckets(
         self, terms: List[str], filters: List[Node], limit: int
     ) -> Optional[Tuple[List[Tuple[int, float]], int]]:
@@ -646,6 +681,10 @@ class SearchEngine:
             return None
         if fid is not None and fid.size == 0:
             return [], 0
+        # ONE executor-side copy of the filter-id set (like the tombstone
+        # array) — a closure-captured array would be re-pickled into every
+        # task (16 MB per task at the 2M-id cap)
+        fid_bc = self._broadcast_filter_ids(fid)
         bonus = float(len(filters))
         distinct = sorted(set(terms))
         dfmap = self._live_df_map(distinct)
@@ -661,6 +700,7 @@ class SearchEngine:
 
         def kern(key, pdf: pd.DataFrame) -> pd.DataFrame:
             from .codec import decode_positions_flat, raw_bm25_component
+            from .ids import member_mask
             from .phrase import (
                 filter_tombstones,
                 match_phrase,
@@ -669,6 +709,7 @@ class SearchEngine:
             )
 
             tomb = tomb_bc.value
+            fid = fid_bc.value if fid_bc is not None else None
             empty = pd.DataFrame(
                 {
                     "kind": pd.Series(dtype="int32"),
@@ -685,10 +726,10 @@ class SearchEngine:
                 )
                 ids, tfs, dls = decode_postings(bytes(r.payload), int(r.df_shard))
                 if tomb.size:
-                    live = ~np.isin(ids, tomb)
+                    live = ~member_mask(ids, tomb)
                     ids, tfs, dls = ids[live], tfs[live], dls[live]
                 if fid is not None:
-                    m = np.isin(ids, fid)
+                    m = member_mask(ids, fid)
                     ids, tfs, dls = ids[m], tfs[m], dls[m]
                 pshards.setdefault(r.term, []).append((ids, tfs, dls))
                 row_df[r.term] = int(r.df)
@@ -736,10 +777,14 @@ class SearchEngine:
                 }
             )
 
-        with self._serving_conf():
-            coll = (
-                rows.groupBy("bucket").applyInPandas(kern, _SERVE_SCHEMA).collect()
-            )
+        try:
+            with self._serving_conf():
+                coll = (
+                    rows.groupBy("bucket").applyInPandas(kern, _SERVE_SCHEMA).collect()
+                )
+        finally:
+            if fid_bc is not None:
+                fid_bc.unpersist()
         total = sum(int(r["doc_id"]) for r in coll if r["kind"] == 1)
         hits = sorted(
             ((int(r["doc_id"]), float(r["score"])) for r in coll if r["kind"] == 0),
@@ -848,6 +893,7 @@ class SearchEngine:
             return None  # filter set too large to broadcast — compile
         if filter_ids is not None and filter_ids.size == 0:
             return [], 0
+        fid_bc = self._broadcast_filter_ids(filter_ids)
         bonus = float(len(filters))
 
         distinct = sorted({t for g in groups for t in g})
@@ -855,22 +901,23 @@ class SearchEngine:
         rows = self.postings.filter(F.col("term").isin(distinct))
         N, avgdl, k = self.N, self.avgdl, max(0, min(limit, MAX_SEARCH_LIMIT))
         tomb_bc = self._tomb_bc
-        fid = filter_ids
         groups_local = [list(g) for g in groups]
 
         def kern(key, pdf: pd.DataFrame) -> pd.DataFrame:
             from .codec import raw_bm25_component
+            from .ids import member_mask
 
             per_term: Dict[str, list] = {}
             row_df: Dict[str, int] = {}
             tomb = tomb_bc.value
+            fid = fid_bc.value if fid_bc is not None else None
             for r in pdf.itertuples(index=False):
                 ids, tfs, dls = decode_postings(bytes(r.payload), int(r.df_shard))
                 if tomb.size:
-                    live = ~np.isin(ids, tomb)
+                    live = ~member_mask(ids, tomb)
                     ids, tfs, dls = ids[live], tfs[live], dls[live]
                 if fid is not None:
-                    m = np.isin(ids, fid)
+                    m = member_mask(ids, fid)
                     ids, tfs, dls = ids[m], tfs[m], dls[m]
                 per_term.setdefault(r.term, []).append((ids, tfs, dls))
                 row_df[r.term] = int(r.df)
@@ -938,8 +985,14 @@ class SearchEngine:
                 }
             )
 
-        with self._serving_conf():
-            coll = rows.groupBy("bucket").applyInPandas(kern, _SERVE_SCHEMA).collect()
+        try:
+            with self._serving_conf():
+                coll = (
+                    rows.groupBy("bucket").applyInPandas(kern, _SERVE_SCHEMA).collect()
+                )
+        finally:
+            if fid_bc is not None:
+                fid_bc.unpersist()
         total = sum(int(r["doc_id"]) for r in coll if r["kind"] == 1)
         hits = sorted(
             ((int(r["doc_id"]), float(r["score"])) for r in coll if r["kind"] == 0),

@@ -23,10 +23,26 @@ from __future__ import annotations
 
 from typing import Iterable, Sequence
 
+import numpy as np
 import pandas as pd
 from pyspark import TaskContext
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def member_mask(values: np.ndarray, sorted_set: np.ndarray) -> np.ndarray:
+    """Boolean mask: ``values[i] ∈ sorted_set`` via binary search.
+
+    O(n log m) with far better constants than ``np.isin`` when the set is
+    already sorted-unique (doc-id sets from decode/np.unique always are) —
+    the hot membership primitive for tombstone and metadata-filter masks
+    inside the serving kernels."""
+    values = np.asarray(values)
+    if sorted_set.size == 0:
+        return np.zeros(values.shape, dtype=bool)
+    idx = np.searchsorted(sorted_set, values, side="left")
+    np.minimum(idx, sorted_set.size - 1, out=idx)
+    return sorted_set[idx] == values
 
 DOC_KEY: Sequence[str] = ("repo", "path", "commit")
 HASH_DOC_SPACE = 1 << 63

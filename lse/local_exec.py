@@ -240,7 +240,9 @@ class LocalExecutor:
                 order = np.argsort(ids, kind="stable")
                 ids, tfs, dls = ids[order], tfs[order], dls[order]
             if tomb.size:
-                live = ~np.isin(ids, tomb)
+                from .ids import member_mask
+
+                live = ~member_mask(ids, tomb)
                 ids, tfs, dls = ids[live], tfs[live], dls[live]
             # live GLOBAL df across segments (QueryEngine.java:445-463)
             self._postings_cache[term] = (ids, tfs, dls, int(ids.size))

@@ -138,16 +138,20 @@ def filter_docs(tp: TermPositions, keep_mask: np.ndarray) -> TermPositions:
 
 
 def filter_tombstones(tp: TermPositions, tomb: np.ndarray) -> TermPositions:
-    """Drop tombstoned docs from a TermPositions triple."""
+    """Drop tombstoned docs from a TermPositions triple (tomb is sorted)."""
+    from .ids import member_mask
+
     ids = tp[0]
     if tomb.size == 0 or ids.size == 0:
         return tp
-    return filter_docs(tp, ~np.isin(ids, tomb))
+    return filter_docs(tp, ~member_mask(ids, tomb))
 
 
 def restrict_ids(tp: TermPositions, allowed_sorted: np.ndarray) -> TermPositions:
     """Keep only docs present in ``allowed_sorted``."""
+    from .ids import member_mask
+
     ids = tp[0]
     if ids.size == 0:
         return tp
-    return filter_docs(tp, np.isin(ids, allowed_sorted))
+    return filter_docs(tp, member_mask(ids, allowed_sorted))

@@ -149,6 +149,8 @@ def wand_topk(
     initial_threshold: float = float("-inf"),
 ) -> List[Tuple[int, float]]:
     """Exact top-k over the OR of the given term cursors (score = sum)."""
+    if k <= 0:
+        return []
     top = TopK(k)
     live = [c for c in cursors if not c.exhausted]
     while live:
@@ -220,6 +222,8 @@ def wand_topk_and(
     in every cursor; score = sum). Document-at-a-time intersection seeded by
     cursor alignment with block-skipping seeks, plus the block-max bound to
     skip aligned regions that cannot beat the current threshold."""
+    if k <= 0:
+        return []
     top = TopK(k)
     if not cursors or any(c.exhausted for c in cursors):
         return []
@@ -269,6 +273,10 @@ def wand_topk_bulk(
     WAND (a range is only skipped when its upper bound ≤ θ), so the result
     is exactly the exhaustive scorer's top-k; iterations scale with the
     densest term's block count, not its document count."""
+    if k <= 0:
+        # search_topk clamps limit to >= 0, so limit=0 reaches the kernel —
+        # without the guard top_scores.min() below raises on the empty array
+        return []
     live = [c for c in cursors if not c.exhausted]
     top_ids = np.empty(0, dtype=np.int64)
     top_scores = np.empty(0, dtype=np.float64)
