@@ -465,6 +465,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "vec_id", F.round("cos", 4).alias("cos")
         )
 
+    def q_snippet_lines(spark, sf):
+        """Q13 line-number math (highlight/SnippetGenerator.java:159-166):
+        first case-insensitive occurrence offset + 1-based line number via
+        lse.snippets.first_occurrence — the same scan/line counting
+        generate() applies to highlight anchors. Spaces are mapped to
+        newlines first so the line numbers genuinely vary."""
+        import pandas as pd
+
+        d = spark.read.parquet(os.path.join(sf, "documents.parquet")).select(
+            "doc_id", F.translate(F.col("text"), " ", "\n").alias("content")
+        )
+
+        def run(batches):
+            from lse.snippets import first_occurrence
+
+            for pdf in batches:
+                ids, offs, lines = [], [], []
+                for i, c in zip(pdf["doc_id"], pdf["content"]):
+                    fo = first_occurrence(c, "spark")
+                    if fo is not None:
+                        ids.append(int(i))
+                        offs.append(fo[0])
+                        lines.append(fo[1])
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series(ids, dtype="int64"),
+                        "offset": pd.Series(offs, dtype="int64"),
+                        "line_number": pd.Series(lines, dtype="int64"),
+                    }
+                )
+
+        return d.mapInPandas(run, "doc_id long, offset long, line_number long")
+
     return {
         "tokenize_tf": q_tokenize_tf,
         "term_df": q_term_df,
@@ -503,6 +536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "fingerprints": q_fingerprints,
         "ann_lsh_topk": q_ann_lsh,
+        "snippet_lines": q_snippet_lines,
     }
 
 
@@ -729,4 +763,20 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(CASE WHEN term IN {_STOP_SQL} THEN 1 ELSE 0 END)::DOUBLE
                          / count(*), 4) AS stop_ratio
             FROM toks GROUP BY doc_id""",
+        "snippet_lines": """
+            WITH c AS (
+              SELECT doc_id, replace(text, ' ', chr(10)) AS content
+              FROM documents
+            ),
+            hit AS (
+              SELECT doc_id, content,
+                     strpos(lower(content), 'spark') AS p
+              FROM c WHERE strpos(lower(content), 'spark') > 0
+            )
+            SELECT doc_id,
+                   (p - 1)::BIGINT AS "offset",
+                   (1 + length(substr(content, 1, p - 1))
+                      - length(replace(substr(content, 1, p - 1),
+                               chr(10), '')))::BIGINT AS line_number
+            FROM hit""",
     }

@@ -70,8 +70,17 @@ def varbyte_decode(buf: bytes, offset: int = 0, count: int = -1) -> Tuple[np.nda
 
     Decodes ``count`` values (or all, if -1) starting at byte ``offset``.
     Returns (values int64 array, end_offset).
+
+    When ``count`` is given the scan is bounded at ``count * 10`` bytes
+    (a 64-bit varint is ≤ 10 bytes) — decoding one 128-doc block out of a
+    multi-MB posting blob must cost O(block bytes), not O(blob bytes); an
+    unbounded frombuffer+flatnonzero here made every WAND block load scan
+    the whole remaining payload (quadratic over a posting list's blocks).
     """
-    raw = np.frombuffer(buf, dtype=np.uint8, count=len(buf) - offset, offset=offset)
+    span = len(buf) - offset
+    if count >= 0:
+        span = min(span, count * 10)
+    raw = np.frombuffer(buf, dtype=np.uint8, count=span, offset=offset)
     if raw.size == 0:
         return np.empty(0, dtype=np.int64), offset
     is_last = (raw & 0x80) == 0
@@ -353,9 +362,12 @@ def decode_block(
     count: int,
     prev_last_doc: int,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Decode a single block independently (WAND seek path)."""
-    deltas, off = varbyte_decode(payload, int(block_offset), count)
-    ids = delta_decode(deltas, first_base=prev_last_doc)
-    tfs, off = varbyte_decode(payload, off, count)
-    dls, _ = varbyte_decode(payload, off, count)
-    return ids, tfs, dls
+    """Decode a single block independently (WAND seek path).
+
+    The block's three runs (id deltas | tfs | dls) are consecutive varints,
+    so ONE vectorized varbyte pass decodes all 3·count values — a third of
+    the numpy-call overhead of three passes, which dominates at the WAND
+    hot path's 128-value granularity."""
+    values, _ = varbyte_decode(payload, int(block_offset), 3 * count)
+    ids = delta_decode(values[:count], first_base=prev_last_doc)
+    return ids, values[count : 2 * count], values[2 * count :]

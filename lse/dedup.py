@@ -20,7 +20,6 @@ never materializes the O(n²) pair space:
 
 from __future__ import annotations
 
-import zlib
 from typing import Iterable, Optional
 
 import numpy as np
@@ -127,15 +126,19 @@ def ngram_jaccard_pairs(
 
 # ---------------------------------------------------------------- minhash
 def _char_shingle_hashes(text: str, k: int) -> np.ndarray:
-    if not text or len(text) < k:
-        data = (text or "").encode()
-        return np.array([zlib.crc32(data)], dtype=np.uint64)
-    return np.unique(
-        np.fromiter(
-            (zlib.crc32(text[i : i + k].encode()) for i in range(len(text) - k + 1)),
-            dtype=np.uint64,
-        )
-    )
+    """Distinct k-gram shingle hashes of one document, fully vectorized.
+
+    Reuses the fingerprints module's sliding-window polynomial kernel
+    (textops._kgram_hashes: one strided matrix product over the byte
+    stream) — the per-offset ``zlib.crc32(text[i:i+k])`` Python generator
+    it replaces was the last scalar-Python hashing loop in the repo and
+    CPU-bound the whole minhash stage at scale. Shingles are BYTE k-grams
+    of the utf-8 encoding (identical to char k-grams for ASCII; an equally
+    valid shingle family for multibyte text)."""
+    from .textops import _kgram_hashes
+
+    data = (text or "").encode()
+    return np.unique(_kgram_hashes(data, k))
 
 
 def minhash_signatures(

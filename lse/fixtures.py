@@ -97,3 +97,62 @@ def make_repos_df(spark, n_docs: int = 500, seed: int = 42, partitions: Optional
     if partitions:
         df = df.repartition(partitions)
     return df
+
+
+def make_skewed_df(
+    spark,
+    n_docs: int,
+    partitions: int = 32,
+    spike_every: int = 997,
+    spike_tf: int = 40,
+    rare_every: int = 2000,
+):
+    """Score-SKEWED corpus for block-max pruning benchmarks — the regime the
+    reference's skip lists exist for (storage/PostingsWriter.java:48-60) and
+    the synthetic uniform corpus cannot produce.
+
+    Structure (all deterministic functions of doc_id; generated distributed
+    via spark.range — nothing materializes on the driver):
+
+    * ``hot``  — in EVERY doc with tf=1, except a tf spike (``spike_tf``)
+      every ``spike_every`` docs: idf ≈ 0, per-block bounds near-uniform
+      except the ~1/8 of 128-doc blocks holding a spike;
+    * ``rare`` — every ``rare_every``-th doc with tf=3: high idf, few wide
+      blocks — top-k is dominated by these docs, setting a θ most hot
+      blocks cannot beat (the rare-OR-hot WAND win regime);
+    * ``rare2`` — a second rare term (every ``4·rare_every`` docs) for
+      multi-rare OR shapes that stay in the WAND win regime;
+    * ``warm1``/``warm2`` — mid-df terms for wider OR shapes (these pull a
+      query OUT of the win regime: fat companion lists);
+    * per-doc filler/pad tokens vary dl (BM25 length normalization).
+
+    doc_ids are dense 0..n-1, so 128-doc blocks are contiguous id ranges
+    and the spike structure maps directly onto block bounds."""
+    from pyspark.sql import functions as F
+
+    base = spark.range(0, n_docs, 1, partitions)
+    i = F.col("id")
+    tf_hot = F.when(i % spike_every == 0, spike_tf).otherwise(1)
+    parts = [
+        F.array_join(F.array_repeat(F.lit("hot"), tf_hot.cast("int")), " "),
+        F.when(i % rare_every == 7, F.lit("rare rare rare")).otherwise(F.lit("")),
+        F.when(i % (4 * rare_every) == 13, F.lit("rare2 rare2")).otherwise(F.lit("")),
+        F.when(i % 11 == 0, F.lit("warm1")).otherwise(F.lit("")),
+        F.when(i % 13 == 0, F.lit("warm2 warm2")).otherwise(F.lit("")),
+        F.concat(F.lit("fill"), (i % 53).cast("string")),
+        F.array_join(
+            F.array_repeat(
+                F.concat(F.lit("pad"), (i % 17).cast("string")),
+                (i % 7 + 1).cast("int"),
+            ),
+            " ",
+        ),
+    ]
+    return base.select(
+        i.alias("doc_id"),
+        F.concat(F.lit("skew/repo"), (i % 5).cast("string")).alias("repo"),
+        F.concat(F.lit("f"), i.cast("string"), F.lit(".txt")).alias("path"),
+        F.lit("").alias("commit"),
+        F.lit("txt").alias("lang"),
+        F.concat_ws(" ", *parts).alias("content"),
+    )

@@ -18,6 +18,8 @@ same BM25, same (score desc, doc_id asc) tie-break).
 
 from __future__ import annotations
 
+import logging
+from collections import OrderedDict
 from datetime import datetime, timezone
 from typing import Dict, List, Optional, Tuple
 
@@ -29,7 +31,94 @@ from . import querydsl
 from .bm25 import idf as idf_fn
 from .codec import decode_postings, raw_bm25_component
 from .constants import MAX_SEARCH_LIMIT
+from .ids import member_mask
 from .querydsl import Bool, Field, Node, Not, Phrase, Prefix, Range, Term
+
+log = logging.getLogger("lse.local_exec")
+
+
+class _ByteLRU:
+    """Byte-budgeted LRU over decoded numpy payloads (postings / positions).
+
+    The driver may hold MANY terms' decoded arrays across a query session;
+    an unbounded dict would grow with the query mix until the driver OOMs.
+    Whole-entry eviction in least-recently-used order, budgeted by the
+    entries' actual array bytes."""
+
+    def __init__(self, byte_budget: int):
+        self.byte_budget = int(byte_budget)
+        self._d: "OrderedDict[str, tuple]" = OrderedDict()
+        self._sizes: Dict[str, int] = {}
+        self.bytes = 0
+
+    @staticmethod
+    def _nbytes(value) -> int:
+        n = 0
+        for v in value:
+            if isinstance(v, np.ndarray):
+                n += v.nbytes
+            elif isinstance(v, tuple):
+                n += _ByteLRU._nbytes(v)
+        return n
+
+    def __contains__(self, key: str) -> bool:
+        return key in self._d
+
+    def get(self, key: str, default=None):
+        v = self._d.get(key)
+        if v is None:
+            return default
+        self._d.move_to_end(key)
+        return v
+
+    def __getitem__(self, key: str):
+        v = self.get(key)
+        if v is None and key not in self._d:
+            raise KeyError(key)
+        return v
+
+    def put(self, key: str, value: tuple) -> None:
+        if key in self._d:
+            self.bytes -= self._sizes.pop(key)
+            del self._d[key]
+        size = self._nbytes(value)
+        self._d[key] = value
+        self._sizes[key] = size
+        self.bytes += size
+        while self.bytes > self.byte_budget and len(self._d) > 1:
+            old_k, _old_v = self._d.popitem(last=False)
+            self.bytes -= self._sizes.pop(old_k)
+
+    def setdefault(self, key: str, value: tuple):
+        if key in self._d:
+            return self.get(key)
+        self.put(key, value)
+        return value
+
+    def __setitem__(self, key: str, value: tuple) -> None:
+        self.put(key, value)
+
+    def __iter__(self):
+        return iter(list(self._d))
+
+    def __len__(self) -> int:
+        return len(self._d)
+
+
+def _topk_order(ids: np.ndarray, scores: np.ndarray, k: int) -> np.ndarray:
+    """Indices of the top-k by (score desc, id asc) — argpartition narrows
+    to the score-threshold candidate set first, so selecting 10 of 1M costs
+    O(n) + a tiny sort instead of a full O(n log n) lexsort."""
+    n = ids.size
+    if k >= n or n <= 4096:
+        return np.lexsort((ids, -scores))[:k]
+    part = np.argpartition(-scores, k - 1)[:k]
+    thresh = scores[part].min()
+    cand = np.flatnonzero(scores >= thresh)
+    if cand.size == n:  # fully tied — the partition narrowed nothing
+        return np.lexsort((ids, -scores))[:k]
+    order = np.lexsort((ids[cand], -scores[cand]))[:k]
+    return cand[order]
 
 
 class _ScoreSet:
@@ -59,10 +148,15 @@ class _ScoreSet:
         )
 
     def intersect_sum(self, other: "_ScoreSet") -> "_ScoreSet":
-        common, ia, ib = np.intersect1d(
-            self.ids, other.ids, assume_unique=True, return_indices=True
-        )
-        return _ScoreSet(common, self.scores[ia] + other.scores[ib])
+        # both id arrays are sorted-unique: binary-search the smaller into
+        # the larger (O(n log m)) instead of intersect1d's concat-and-sort
+        a, b = (self, other) if self.ids.size <= other.ids.size else (other, self)
+        if a.ids.size == 0 or b.ids.size == 0:
+            return _ScoreSet.empty()
+        idx = np.searchsorted(b.ids, a.ids)
+        np.minimum(idx, b.ids.size - 1, out=idx)
+        m = b.ids[idx] == a.ids
+        return _ScoreSet(a.ids[m], a.scores[m] + b.scores[idx[m]])
 
 
 class LocalExecutor:
@@ -70,9 +164,11 @@ class LocalExecutor:
         self,
         engine,
         meta_limit: int = 2_000_000,
-        postings_byte_budget: int = 8 << 20,
-        positions_byte_budget: int = 8 << 20,
+        postings_byte_budget: int = 256 << 20,
+        positions_byte_budget: int = 64 << 20,
         dict_row_limit: int = 2_000_000,
+        dict_byte_budget: int = 256 << 20,
+        cache_byte_budget: int = 1 << 30,
     ):
         self.engine = engine
         self.meta_limit = meta_limit
@@ -80,12 +176,23 @@ class LocalExecutor:
         # payloads for its terms/prefix expansions, position blobs for its
         # phrase terms. Queries over budget are served by the distributed
         # tiers instead — a hot term (df→N) must never OOM the driver.
+        # Defaults are sized for the driver actually available (≳a few GB);
+        # override per engine via spark.lse.local.* (SearchEngine.local) or
+        # the constructor. Routing stays a PURE function of query +
+        # dictionary — the budgets only scale the admission threshold.
         self.postings_byte_budget = postings_byte_budget
         self.positions_byte_budget = positions_byte_budget
         self.dict_row_limit = dict_row_limit
-        self._postings_cache: Dict[str, Tuple[np.ndarray, np.ndarray, np.ndarray, int]] = {}
+        self.dict_byte_budget = dict_byte_budget
+        # decoded-array LRUs: repeat queries at multi-million-doc scale
+        # serve from these without re-collecting/decoding, while the byte
+        # budget keeps a long diverse query mix from growing the driver
+        self._postings_cache = _ByteLRU(cache_byte_budget)
         self._prefix_cache: Dict[str, List[str]] = {}
-        self._positions_cache: Dict[str, tuple] = {}
+        self._positions_cache = _ByteLRU(cache_byte_budget // 2)
+        # per-term idf·raw score arrays (N/avgdl are fixed per engine, so
+        # these never go stale) — repeat term queries skip BM25 entirely
+        self._scores_cache = _ByteLRU(cache_byte_budget // 2)
         self._meta: Optional[pd.DataFrame] = None
         self._all_ids: Optional[np.ndarray] = None
         self._tc: Optional[pd.Series] = None
@@ -95,6 +202,14 @@ class LocalExecutor:
         self._dict_terms: Optional[np.ndarray] = None
         self._dict_bytes: Optional[np.ndarray] = None
         self._dict_df: Optional[np.ndarray] = None
+        # per-term block-bound shape: max and mean of the per-128-doc-block
+        # raw-BM25 maxima — the one-pass stat strategy='auto' consults to
+        # decide whether block-max WAND will actually prune (high variance:
+        # few spike blocks dominate) or degenerate to a full walk (uniform
+        # scores: every block's bound ≈ the global bound)
+        self._dict_bmax_max: Optional[np.ndarray] = None
+        self._dict_bmax_avg: Optional[np.ndarray] = None
+        self._dict_bmax_n: Optional[np.ndarray] = None
         self._dict_unavailable = False
         self._pos_terms: Optional[np.ndarray] = None
         self._pos_bytes: Optional[np.ndarray] = None
@@ -130,17 +245,46 @@ class LocalExecutor:
             .agg(
                 F.sum(F.octet_length("payload")).alias("bytes"),
                 F.sum("df_shard").alias("df"),
+                F.max(F.array_max("block_max_raw")).alias("bmax_max"),
+                F.sum(
+                    F.aggregate("block_max_raw", F.lit(0.0), lambda s, x: s + x)
+                ).alias("bmax_sum"),
+                F.sum(F.size("block_max_raw")).alias("bmax_n"),
             )
             .limit(self.dict_row_limit + 1)
         )
         pdf = agg.toPandas()
         if len(pdf) > self.dict_row_limit:
+            log.warning(
+                "routing dictionary unavailable: vocabulary exceeds "
+                "dict_row_limit=%d — local-tier admission degrades to the "
+                "small-corpus gate for this session", self.dict_row_limit,
+            )
+            self._dict_unavailable = True
+            return False
+        # byte cap (not just the row cliff): the dictionary lives on the
+        # driver for the whole session — degrade EXPLICITLY when a huge
+        # vocabulary would pin too much memory, with a log line saying so
+        approx_bytes = int(
+            pdf["term"].str.len().sum() * 4 + len(pdf) * 8 * 5
+        )
+        if approx_bytes > self.dict_byte_budget:
+            log.warning(
+                "routing dictionary unavailable: ~%d bytes exceeds "
+                "dict_byte_budget=%d — local-tier admission degrades to the "
+                "small-corpus gate", approx_bytes, self.dict_byte_budget,
+            )
             self._dict_unavailable = True
             return False
         pdf = pdf.sort_values("term").reset_index(drop=True)
         self._dict_terms = pdf["term"].to_numpy()
         self._dict_bytes = pdf["bytes"].to_numpy(dtype=np.int64)
         self._dict_df = pdf["df"].to_numpy(dtype=np.int64)
+        self._dict_bmax_max = pdf["bmax_max"].to_numpy(dtype=np.float64)
+        self._dict_bmax_n = np.maximum(pdf["bmax_n"].to_numpy(dtype=np.int64), 1)
+        self._dict_bmax_avg = (
+            pdf["bmax_sum"].to_numpy(dtype=np.float64) / self._dict_bmax_n
+        )
         return True
 
     def _load_pos_dictionary(self) -> bool:
@@ -199,12 +343,38 @@ class LocalExecutor:
         return self._all_ids
 
     def fetch_terms(self, terms: List[str], prefixes: List[str]) -> None:
-        """One term-pruned scan for all postings the query needs."""
-        missing = [t for t in terms if t not in self._postings_cache]
+        """One term-pruned scan for all postings the query needs.
+
+        Fills the PER-QUERY working set (``_query_postings``) — the LRU is
+        only a read-through accelerator. Evaluation must never depend on an
+        entry surviving in the LRU (a tiny budget may evict a term between
+        fetch and eval; that must cost a re-decode next query, never a
+        wrong result)."""
+        if self._query_postings is None:
+            self._query_postings = {}
+        if self._prefix_terms is None:
+            self._prefix_terms = {}
+        missing = []
+        for t in terms:
+            hit = self._postings_cache.get(t)
+            if hit is not None:
+                self._query_postings[t] = hit
+            else:
+                missing.append(t)
         new_prefixes = [p for p in prefixes if p not in self._prefix_cache]
         for p in prefixes:
             if p in self._prefix_cache:
-                self._prefix_terms[p] = self._prefix_cache[p]
+                exp = self._prefix_cache[p]
+                self._prefix_terms[p] = exp
+                # expansion terms must be materialized for this query too
+                for t in exp:
+                    if t not in self._query_postings:
+                        hit = self._postings_cache.get(t)
+                        if hit is not None:
+                            self._query_postings[t] = hit
+                        else:
+                            missing.append(t)
+        missing = sorted(set(missing))
         conds = []
         if missing:
             conds.append(F.col("term").isin(missing))
@@ -240,18 +410,18 @@ class LocalExecutor:
                 order = np.argsort(ids, kind="stable")
                 ids, tfs, dls = ids[order], tfs[order], dls[order]
             if tomb.size:
-                from .ids import member_mask
-
                 live = ~member_mask(ids, tomb)
                 ids, tfs, dls = ids[live], tfs[live], dls[live]
             # live GLOBAL df across segments (QueryEngine.java:445-463)
-            self._postings_cache[term] = (ids, tfs, dls, int(ids.size))
+            entry = (ids, tfs, dls, int(ids.size))
+            self._query_postings[term] = entry
+            self._postings_cache.put(term, entry)
         # negative-cache plain terms that do not exist in the dictionary
+        neg = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64),
+               np.empty(0, dtype=np.int64), 0)
         for t in missing:
-            self._postings_cache.setdefault(
-                t, (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64),
-                    np.empty(0, dtype=np.int64), 0)
-            )
+            if t not in self._query_postings:
+                self._query_postings[t] = neg
         # prefixes: remember the expansion term lists (per query and cached)
         for p in new_prefixes:
             expansion = sorted(t for t in by_term if t.startswith(p))
@@ -259,16 +429,27 @@ class LocalExecutor:
             self._prefix_cache[p] = expansion
 
     _prefix_terms: Dict[str, List[str]] = None  # set in execute()
+    _query_postings: Dict[str, tuple] = None  # set in execute()
 
     def _positions_for(self, terms: List[str]):
         """term → flat TermPositions (doc_ids, counts, flat positions),
-        merged across segment shards."""
+        merged across segment shards. Returns a QUERY-LOCAL dict (the LRU
+        only accelerates — an eviction can never blank a phrase term
+        mid-query)."""
         if self.engine.positions is None:
             return {}
         from .phrase import empty_positions, merge_shards
 
         want = set(terms)
-        missing = sorted(want - set(self._positions_cache))
+        out: Dict[str, tuple] = {}
+        missing = []
+        for t in want:
+            hit = self._positions_cache.get(t)
+            if hit is not None:
+                out[t] = hit
+            else:
+                missing.append(t)
+        missing = sorted(missing)
         if missing:
             from .codec import decode_positions_flat
 
@@ -283,24 +464,32 @@ class LocalExecutor:
                     decode_positions_flat(bytes(r["payload"]), int(r["n_docs"]))
                 )
             for t in missing:
-                self._positions_cache[t] = merge_shards(shards[t])
-        return {
-            t: self._positions_cache.get(t, empty_positions()) for t in want
-        }
+                merged = merge_shards(shards[t])
+                out[t] = merged
+                self._positions_cache.put(t, merged)
+        for t in want:
+            out.setdefault(t, empty_positions())
+        return out
 
     # ------------------------------------------------------------ evaluation
     def _score_term(self, term: str) -> _ScoreSet:
         t = (term or "").lower()
         if not t.strip():
             return _ScoreSet.empty()
-        ids, tfs, dls, df = self._postings_cache.get(
+        ids, tfs, dls, df = self._query_postings.get(
             t, (np.empty(0, dtype=np.int64), None, None, 0)
         )
         if df <= 0 or ids.size == 0:
             return _ScoreSet.empty()
+        cached = self._scores_cache.get(t)
+        if cached is not None and cached[0] is tfs:
+            return _ScoreSet(ids, cached[1])
         idf_v = idf_fn(df, self.engine.N)
-        raw = raw_bm25_component(tfs, dls, self.engine.avgdl)
-        return _ScoreSet(ids, idf_v * raw)
+        scores = idf_v * raw_bm25_component(tfs, dls, self.engine.avgdl)
+        # key the cache entry to THIS decode (identity of tfs): a term
+        # re-fetched after LRU eviction gets fresh scores, never stale ones
+        self._scores_cache.put(t, (tfs, scores))
+        return _ScoreSet(ids, scores)
 
     def _eval(self, node: Node, positions) -> _ScoreSet:
         if isinstance(node, Term):
@@ -320,7 +509,7 @@ class LocalExecutor:
         if isinstance(node, Not):
             child = self._eval(node.child, positions)
             universe = self.all_doc_ids()
-            rest = np.setdiff1d(universe, child.ids, assume_unique=True)
+            rest = universe[~member_mask(universe, child.ids)]
             return _ScoreSet(rest, np.zeros(rest.size))
         if isinstance(node, Bool):
             left = self._eval(node.left, positions)
@@ -463,6 +652,7 @@ class LocalExecutor:
         limit = max(0, min(limit, MAX_SEARCH_LIMIT))
         result = querydsl.parse(query)
         self._prefix_terms = {}
+        self._query_postings = {}
         ast = result.ast
         terms = sorted(querydsl.extract_query_terms(ast))
         prefixes = sorted({n.prefix.lower() for n in _walk(ast) if isinstance(n, Prefix)})
@@ -480,9 +670,9 @@ class LocalExecutor:
                 keys = m["size_bytes"].to_numpy()
             else:
                 keys = pd.to_datetime(m["mtime"], utc=True).astype("int64").to_numpy()
-            order = np.lexsort((res.ids, -keys))[:limit]
+            order = _topk_order(res.ids, keys, limit)  # int64 keys stay exact
         else:
-            order = np.lexsort((res.ids, -res.scores))[:limit]
+            order = _topk_order(res.ids, res.scores, limit)
         return [
             (int(res.ids[i]), float(res.scores[i])) for i in order
         ], total

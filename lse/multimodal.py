@@ -1,13 +1,13 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary`` columns
 with typed metadata, processed through Arrow-batched ``mapInPandas``.
 
-The decode kernels themselves are STUBBED in this container (no
-PIL/ffmpeg/torchaudio available): ``backend='real'`` raises
-NotImplementedError at the decode step, while ``backend='fake'`` runs a
-deterministic stand-in (a seeded hash of the payload bytes drives the
-"decoded" values) so the Spark-side contract — schemas, batch shapes,
-partition behavior, UDF signatures — is real and fully tested. Swapping in a
-real decoder is a one-function change per modality.
+IMAGE decode is REAL for PNG: ``backend='real'`` runs the pure-stdlib codec
+(lse.png — zlib inflate + numpy unfiltering; golden-pixel tested), no PIL
+needed. Audio/video probing still has no in-container decoder
+(ffmpeg/torchaudio absent): those keep the ``backend='fake'`` deterministic
+stand-in (a seeded hash of the payload bytes drives the "decoded" values)
+so the Spark-side contract — schemas, batch shapes, partition behavior, UDF
+signatures — stays real and fully tested; ``backend='real'`` raises there.
 
 Schemas:
   image: (id long, payload binary, meta struct<width:int, height:int,
@@ -55,13 +55,24 @@ def _payload_rng(payload: bytes) -> np.random.Generator:
 
 
 def _decode_image(payload: bytes, backend: str) -> np.ndarray:
-    """Decode to an HxWx3 uint8 array. 'real' needs an image library that is
-    not in this container."""
+    """Decode to an HxWx3 uint8 array.
+
+    'real' decodes PNG bytes with the pure-stdlib codec (lse.png: zlib
+    inflate + numpy unfiltering — no PIL needed); non-PNG payloads raise
+    ValueError (loud skip — a pipeline routes those rows to a quarantine
+    sink, never silently fabricates pixels). 'fake' runs the deterministic
+    stand-in used by the pipeline-contract tests."""
     if backend == "real":
-        raise NotImplementedError(
-            "image decode requires PIL/cv2 which are not available here; "
-            "use backend='fake' for pipeline testing"
-        )
+        from .png import decode_png
+
+        img = decode_png(bytes(payload))
+        if img.shape[2] == 1:  # grayscale → replicate
+            img = np.repeat(img, 3, axis=2)
+        elif img.shape[2] == 2:  # gray+alpha → replicate luma
+            img = np.repeat(img[:, :, :1], 3, axis=2)
+        elif img.shape[2] == 4:  # RGBA → drop alpha
+            img = img[:, :, :3]
+        return img
     rng = _payload_rng(payload)
     h, w = int(rng.integers(8, 32)), int(rng.integers(8, 32))
     return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)

@@ -53,6 +53,20 @@ def _is_word_char(c: str) -> bool:
     return c.isalnum() or c == "_"
 
 
+def first_occurrence(content: Optional[str], term: str) -> Optional[Tuple[int, int]]:
+    """(char offset, 1-based line number) of the first case-insensitive
+    occurrence of ``term`` — the same hit scan (SnippetGenerator.java:76-92)
+    and line-number math (:159-166) :func:`generate` applies to its
+    highlight anchors, exposed for the oracle-checked ``snippet_lines``
+    entry. None when the term does not occur."""
+    if not content or not term:
+        return None
+    j = content.lower().find(term.lower())
+    if j < 0:
+        return None
+    return j, 1 + content.count("\n", 0, j)
+
+
 def generate(
     content: Optional[str],
     query_terms: Iterable[str],

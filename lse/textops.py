@@ -75,19 +75,35 @@ def add_token_counts(df: DataFrame, col: str = "content") -> DataFrame:
 _FP_PRIME = np.uint64(1099511628211)  # FNV-64 prime as the rolling base
 
 
+_FP_PRIME_INV = np.uint64(pow(int(_FP_PRIME), -1, 1 << 64))  # p odd ⇒ invertible
+
+
 def _kgram_hashes(data: bytes, k: int) -> np.ndarray:
     """Vectorized polynomial k-gram hashes over the BYTE stream:
-    ``h_i = Σ_j data[i+j] · p^(k-1-j)  (mod 2^64)`` — one shift-multiply
-    matrix product instead of a Python loop of per-gram digests."""
+    ``h_i = Σ_j data[i+j] · p^(k-1-j)  (mod 2^64)``.
+
+    True O(n) rolling form (not the O(n·k) window matrix product): with
+    prefix sums ``C[t] = Σ_{s<t} data[s]·p^(-s)`` the window sum telescopes
+    to ``h_i = (C[i+k] − C[i]) · p^(i+k-1)`` — three cumulated passes over
+    uint64 (whose wraparound IS arithmetic mod 2^64, and p is odd so p⁻¹
+    exists). Values are bit-identical to the window-product form."""
     b = np.frombuffer(data, dtype=np.uint8)
     if b.size < k:
         # short text: hash the whole string once (same degenerate case the
         # per-gram form would produce for its only gram)
         powers = _FP_PRIME ** np.arange(b.size - 1, -1, -1, dtype=np.uint64)
         return np.array([(b.astype(np.uint64) * powers).sum()], dtype=np.uint64)
-    powers = _FP_PRIME ** np.arange(k - 1, -1, -1, dtype=np.uint64)
-    sw = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
-    return (sw * powers[None, :]).sum(axis=1)
+    n = b.size
+    m = n - k + 1
+    pw_inv = np.full(n, _FP_PRIME_INV, dtype=np.uint64)
+    pw_inv[0] = 1
+    np.cumprod(pw_inv, out=pw_inv)  # p^(-t), t = 0..n-1 (mod 2^64)
+    csum = np.zeros(n + 1, dtype=np.uint64)
+    np.cumsum(b.astype(np.uint64) * pw_inv, out=csum[1:])
+    pw = np.full(m, _FP_PRIME, dtype=np.uint64)
+    pw[0] = np.uint64(pow(int(_FP_PRIME), k - 1, 1 << 64))
+    np.cumprod(pw, out=pw)  # p^(i+k-1), i = 0..m-1
+    return (csum[k:] - csum[:m]) * pw
 
 
 def fingerprints(

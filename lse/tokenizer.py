@@ -57,6 +57,30 @@ _WORD_RE = re.compile(r"[a-zA-Z0-9]+")
 _WORD_LOWER_RE = re.compile(r"[a-z0-9]+")
 
 
+def _pattern_intervals(pattern: str):
+    """Parse the character-class body into sorted (start, end) codepoint
+    intervals — the numpy-classifiable form of _CJK_PATTERN. The class body
+    uses '-' only as a range separator."""
+    iv = []
+    i, n = 0, len(pattern)
+    while i < n:
+        lo = pattern[i]
+        if i + 2 < n and pattern[i + 1] == "-":
+            iv.append((ord(lo), ord(pattern[i + 2])))
+            i += 3
+        else:
+            iv.append((ord(lo), ord(lo)))
+            i += 1
+    iv.sort()
+    return (
+        np.array([a for a, _ in iv], dtype=np.uint32),
+        np.array([b for _, b in iv], dtype=np.uint32),
+    )
+
+
+_CJK_STARTS, _CJK_ENDS = _pattern_intervals(_CJK_PATTERN)
+
+
 class Token(NamedTuple):
     term: str
     position: int
@@ -108,6 +132,99 @@ def terms_only(text: Optional[str], enable_stopwords: bool = True) -> List[str]:
     return [t.term for t in tokenize(text, enable_stopwords)]
 
 
+def _tokenize_cjk_rows(texts: List[str], stop) -> List[list]:
+    """Vectorized composite tokenizer for rows CONTAINING CJK.
+
+    Replaces the per-row scalar fallback (a per-CHARACTER Python loop) with
+    batch numpy over the rows' joined codepoints: classify chars (ASCII
+    word / CJK via interval bisect), run-length segment both classes, emit
+    word spans + CJK bigram/single spans, order by offset, split by row.
+    Per-token work is one string slice — the inherent floor, since the
+    output is Python strings. Exact-equivalent to :func:`tokenize` (golden
+    parity pinned in tests)."""
+    joined = "\x00".join(texts)
+    cp = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    is_word = (
+        ((cp >= 48) & (cp <= 57))
+        | ((cp >= 65) & (cp <= 90))
+        | ((cp >= 97) & (cp <= 122))
+    )
+    iidx = np.searchsorted(_CJK_STARTS, cp, side="right").astype(np.int64) - 1
+    is_cjk = (iidx >= 0) & (cp <= _CJK_ENDS[np.maximum(iidx, 0)])
+
+    def runs(mask: np.ndarray):
+        edged = np.empty(mask.size + 2, dtype=np.int8)
+        edged[0] = edged[-1] = 0
+        edged[1:-1] = mask
+        d = np.diff(edged)
+        return np.flatnonzero(d == 1), np.flatnonzero(d == -1)
+
+    wstart, wend = runs(is_word)
+    cstart, cend = runs(is_cjk)
+    clen = cend - cstart
+    multi = clen >= 2
+    nbi = clen[multi] - 1  # bigrams per multi-char CJK run
+    if nbi.size:
+        ends = np.cumsum(nbi)
+        offs = np.arange(int(ends[-1]), dtype=np.int64) - np.repeat(
+            ends - nbi, nbi
+        )
+        bi_start = np.repeat(cstart[multi], nbi) + offs
+    else:
+        bi_start = np.empty(0, dtype=np.int64)
+    single = cstart[~multi]
+    starts = np.concatenate([wstart, bi_start, single])
+    ends_all = np.concatenate([wend, bi_start + 2, single + 1])
+    # kind 0 = word (lowercase + length/stopword filters), 1 = CJK span
+    kinds = np.concatenate(
+        [
+            np.zeros(wstart.size, dtype=np.int8),
+            np.ones(bi_start.size + single.size, dtype=np.int8),
+        ]
+    )
+    order = np.argsort(starts, kind="stable")
+    starts, ends_all, kinds = starts[order], ends_all[order], kinds[order]
+    # row of each token: rows are joined with one '\x00' (neither word nor
+    # CJK, so no run crosses a boundary)
+    row_starts = np.zeros(len(texts), dtype=np.int64)
+    if len(texts) > 1:
+        lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=len(texts))
+        row_starts[1:] = np.cumsum(lens[:-1] + 1)
+    row_of = np.searchsorted(row_starts, starts, side="right") - 1
+
+    # materialize token strings WITHOUT a per-token Python loop for the CJK
+    # spans (the bulk of a CJK document): a (n,2) uint32 codepoint matrix
+    # viewed as '<U2' IS the bigram string array (UCS4 layout); singles via
+    # '<U1'. Only word spans (variable length, need lower+filters) loop.
+    n_tok = starts.size
+    toks = np.empty(n_tok, dtype=object)
+    keep = np.ones(n_tok, dtype=bool)
+    ci = np.flatnonzero(kinds == 1)
+    if ci.size:
+        width = ends_all[ci] - starts[ci]
+        idx2 = ci[width == 2]
+        if idx2.size:
+            pairs = np.empty((idx2.size, 2), dtype=np.uint32)
+            pairs[:, 0] = cp[starts[idx2]]
+            pairs[:, 1] = cp[starts[idx2] + 1]
+            toks[idx2] = pairs.view("<U2").ravel().tolist()
+        idx1 = ci[width == 1]
+        if idx1.size:
+            toks[idx1] = np.ascontiguousarray(cp[starts[idx1]]).view("<U1").tolist()
+    for j in np.flatnonzero(kinds == 0).tolist():
+        tok = joined[starts[j]: ends_all[j]].lower()
+        if len(tok) <= 1 or tok in stop:
+            keep[j] = False
+        else:
+            toks[j] = tok
+    toks = toks[keep]
+    row_kept = row_of[keep]
+    bounds = np.searchsorted(row_kept, np.arange(len(texts) + 1))
+    return [
+        toks[bounds[r]: bounds[r + 1]].tolist() for r in range(len(texts))
+    ]
+
+
 def tokenize_batch(
     texts: pd.Series, enable_stopwords: bool = True
 ) -> pd.Series:
@@ -150,9 +267,11 @@ def tokenize_batch(
             result.loc[non_cjk_idx] = rest.loc[non_cjk_idx].map(_safe)
         cjk_idx = rest.index[has_cjk]
         if len(cjk_idx):
-            result.loc[cjk_idx] = rest.loc[cjk_idx].map(
-                lambda t: [tok.term for tok in tokenize(t, enable_stopwords)]
-            )
+            # vectorized CJK lane (numpy run segmentation + strided
+            # bigrams) — the old per-row scalar fallback cost per-character
+            # Python for every CJK document at 100 TB
+            toks = _tokenize_cjk_rows(rest.loc[cjk_idx].tolist(), stop)
+            result.loc[cjk_idx] = pd.Series(toks, index=cjk_idx)
     return result
 
 

@@ -35,6 +35,7 @@ class TermCursor:
     __slots__ = (
         "payload", "block_last", "block_off", "block_max", "df_shard",
         "idf", "n_blocks", "bi", "ids", "tfs", "dls", "pos", "exhausted",
+        "loaded", "_pend", "_sufmax",
     )
 
     def __init__(self, payload: bytes, block_last, block_off, block_max,
@@ -49,6 +50,9 @@ class TermCursor:
         self.bi = -1
         self.ids = self.tfs = self.dls = None
         self.pos = 0
+        self.loaded = False
+        self._pend = 0  # pending seek target while lazily positioned
+        self._sufmax = None  # lazy suffix-max over block_max (skip scans)
         self.exhausted = self.df_shard == 0
         if not self.exhausted:
             self._load_block(0)
@@ -66,6 +70,70 @@ class TermCursor:
         )
         self.bi = bi
         self.pos = 0
+        self.loaded = True
+
+    # ---------------------------------------------- lazy (no-decode) seeks
+    def seek_lazy(self, target: int) -> None:
+        """Position to the block holding the first doc >= target WITHOUT
+        decoding it — a block-max-pruned skip must never touch the block's
+        bytes. The decode happens in :meth:`ensure_loaded` only if a later
+        range actually scores this block."""
+        if self.exhausted:
+            return
+        if self.loaded and self.cur_doc() >= target:
+            return
+        if self.bi >= 0 and target <= self.block_last[self.bi]:
+            if not self.loaded:
+                self._pend = max(self._pend, target)
+                return
+            self.pos = int(np.searchsorted(self.ids, target, side="left"))
+            return
+        nxt = int(np.searchsorted(self.block_last, target, side="left"))
+        if nxt >= self.n_blocks:
+            self.exhausted = True
+            return
+        self.bi = nxt
+        self.loaded = False
+        self._pend = target
+
+    def ensure_loaded(self) -> None:
+        if self.loaded or self.exhausted:
+            return
+        pend = self._pend
+        self._load_block(self.bi)
+        self.pos = int(np.searchsorted(self.ids, pend, side="left"))
+
+    def cur_doc_lb(self) -> int:
+        """Exact current doc when loaded; a LOWER bound (never above the
+        true value) when lazily positioned — safe for the bulk kernel's
+        `cur_doc <= end` test (it can only ADD a cursor's bound to ub)."""
+        if self.loaded:
+            return int(self.ids[self.pos])
+        lo = int(self.block_last[self.bi - 1]) + 1 if self.bi > 0 else 0
+        return max(lo, self._pend)
+
+    def next_strong_block(self, raw_bound: float) -> Optional[int]:
+        """First block index > bi whose raw block max exceeds ``raw_bound``
+        — the earliest point this cursor ALONE could change a prune
+        verdict. None if no later block qualifies. O(1) for flat tails via
+        a lazily-built suffix max; chunked scan otherwise (the hit is
+        typically nearby)."""
+        j = self.bi + 1
+        n = self.n_blocks
+        if j >= n:
+            return None
+        if self._sufmax is None:
+            self._sufmax = np.maximum.accumulate(self.block_max[::-1])[::-1]
+        if self._sufmax[j] <= raw_bound:
+            return None  # no later block can beat the bound
+        step = 512
+        while j < n:
+            hi = min(j + step, n)
+            strong = self.block_max[j:hi] > raw_bound
+            if strong.any():
+                return j + int(np.argmax(strong))
+            j = hi
+        return None  # pragma: no cover — sufmax guarantees a hit above
 
     # -------------------------------------------------------------- queries
     @property
@@ -272,7 +340,11 @@ def wand_topk_bulk(
     bulk-merged into the top-k arrays. Same pruning invariant as block-max
     WAND (a range is only skipped when its upper bound ≤ θ), so the result
     is exactly the exhaustive scorer's top-k; iterations scale with the
-    densest term's block count, not its document count."""
+    number of block-bound CHANGE POINTS, not with document count: a pruned
+    skip jumps in ONE iteration to the nearest place the verdict could flip
+    (an idle cursor's next doc, or a counted cursor's next block whose own
+    bound exceeds its θ-share) — and skipped blocks are never decoded
+    (TermCursor.seek_lazy)."""
     if k <= 0:
         # search_topk clamps limit to >= 0, so limit=0 reaches the kernel —
         # without the guard top_scores.min() below raises on the empty array
@@ -282,15 +354,34 @@ def wand_topk_bulk(
     top_scores = np.empty(0, dtype=np.float64)
     theta = float("-inf")
     while live:
-        start = min(c.cur_doc() for c in live)
         end = min(c.cur_block_last() for c in live)
-        ub = sum(
-            c.cur_block_max_score() for c in live if c.cur_doc() <= end
-        )
+        counted = [c for c in live if c.cur_doc_lb() <= end]
+        ub = sum(c.cur_block_max_score() for c in counted)
         if ub <= theta:
+            # the whole range [.., end] is pruned; jump as far as provably
+            # safe. Soundness: grant each counted cursor an equal share of
+            # the remaining slack (θ - ub) on top of its CURRENT block
+            # bound — then for ANY subrange before the target, participants
+            # are a subset of `counted` (we never pass an idle cursor's
+            # next doc), each in a block bounded by bound_c + slack/|C|, so
+            # Σ ≤ ub + slack = θ and the subrange is pruned too.
+            targets = [c.cur_doc_lb() for c in live if c.cur_doc_lb() > end]
+            per = (theta - ub) / len(counted)
+            for c in counted:
+                raw_allow = (
+                    c.block_max[c.bi] + per / c.idf
+                    if c.idf > 0
+                    else float("inf")
+                )
+                nb = c.next_strong_block(raw_allow)
+                if nb is None:
+                    targets.append(int(c.block_last[-1]) + 1)
+                else:
+                    targets.append(int(c.block_last[nb - 1]) + 1)
+            target = max(end + 1, min(targets))
             nxt = []
             for c in live:
-                c.seek(end + 1)
+                c.seek_lazy(target)
                 if not c.exhausted:
                     nxt.append(c)
             live = nxt
@@ -299,6 +390,10 @@ def wand_topk_bulk(
         parts_s: List[np.ndarray] = []
         nxt = []
         for c in live:
+            if c.cur_doc_lb() > end:
+                nxt.append(c)  # idle here — do not decode or advance
+                continue
+            c.ensure_loaded()
             lo = c.pos
             hi = int(np.searchsorted(c.ids, end, side="right"))
             if hi > lo:
@@ -319,16 +414,28 @@ def wand_topk_bulk(
         live = nxt
         if not parts_i:
             continue
-        allids = np.concatenate(parts_i)
-        uniq, inv = np.unique(allids, return_inverse=True)
-        summed = np.zeros(uniq.size)
-        np.add.at(summed, inv, np.concatenate(parts_s))
+        if len(parts_i) == 1:
+            # one cursor contributed — already sorted-unique, no merge
+            uniq, summed = parts_i[0], parts_s[0]
+        else:
+            allids = np.concatenate(parts_i)
+            uniq, inv = np.unique(allids, return_inverse=True)
+            summed = np.zeros(uniq.size)
+            np.add.at(summed, inv, np.concatenate(parts_s))
         top_ids = np.concatenate([top_ids, uniq])
         top_scores = np.concatenate([top_scores, summed])
-        if top_ids.size > k:
+        # compress lazily: θ from the last compression is a LOWER bound on
+        # the true k-th best (sound — pruning is merely less eager between
+        # compressions), so the O(m log m) select runs per ~2k candidates,
+        # not per range
+        if top_ids.size >= 2048:
             order = np.lexsort((top_ids, -top_scores))[:k]
             top_ids, top_scores = top_ids[order], top_scores[order]
-        if top_ids.size >= k:
+            if top_ids.size >= k:
+                theta = float(top_scores.min())
+        elif theta == float("-inf") and top_ids.size >= k:
+            order = np.lexsort((top_ids, -top_scores))[:k]
+            top_ids, top_scores = top_ids[order], top_scores[order]
             theta = float(top_scores.min())
     order = np.lexsort((top_ids, -top_scores))[:k]
     return [(int(top_ids[i]), float(top_scores[i])) for i in order]

@@ -165,9 +165,12 @@ def test_multimodal_image_features(spark):
     assert sorted(map(str, feats)) == sorted(map(str, again))
 
 
-def test_multimodal_real_backend_raises(spark):
+def test_multimodal_real_backend_rejects_non_png(spark):
+    """backend='real' now DECODES PNG (lse.png); non-PNG payloads must fail
+    loudly (quarantine, never fabricated pixels). The fake table's payloads
+    are random bytes — not PNGs."""
     imgs = multimodal.make_fake_image_table(spark, n=2)
-    with pytest.raises(Exception, match="NotImplementedError|image decode"):
+    with pytest.raises(Exception, match="png: bad signature|ValueError"):
         multimodal.image_features(imgs, backend="real").collect()
 
 
