@@ -193,6 +193,9 @@ class LocalExecutor:
         # per-term idf·raw score arrays (N/avgdl are fixed per engine, so
         # these never go stale) — repeat term queries skip BM25 entirely
         self._scores_cache = _ByteLRU(cache_byte_budget // 2)
+        # per-term rank arrays into the sorted doc-id universe — the
+        # accumulator OR path (multi-term unions without a 4M-element sort)
+        self._ranks_cache = _ByteLRU(cache_byte_budget // 4)
         self._meta: Optional[pd.DataFrame] = None
         self._all_ids: Optional[np.ndarray] = None
         self._tc: Optional[pd.Series] = None
@@ -491,6 +494,58 @@ class LocalExecutor:
         self._scores_cache.put(t, (tfs, scores))
         return _ScoreSet(ids, scores)
 
+    def _flat_or_terms(self, node: Node) -> Optional[List[str]]:
+        """Term list (with multiplicity) if node is a pure OR tree of Terms."""
+        if isinstance(node, Term):
+            return [node.term.lower()]
+        if isinstance(node, Bool) and node.op == "OR":
+            l = self._flat_or_terms(node.left)
+            r = self._flat_or_terms(node.right)
+            if l is not None and r is not None:
+                return l + r
+        return None
+
+    def _term_ranks(self, term: str, ids: np.ndarray) -> Optional[np.ndarray]:
+        """Positions of a term's doc ids in the sorted universe, LRU-cached
+        keyed to the decode identity (same invalidation rule as scores).
+        Verified once per decode: returns None if any id is not in the
+        universe (callers then fall back to the sort-based union)."""
+        cached = self._ranks_cache.get(term)
+        if cached is not None and cached[0] is ids:
+            return cached[1]
+        universe = self._all_ids
+        ranks = np.searchsorted(universe, ids)
+        if ranks.size and (
+            int(ranks[-1]) >= universe.size
+            or not np.array_equal(universe[ranks], ids)
+        ):
+            return None  # pragma: no cover — live postings ⊆ live universe
+        self._ranks_cache.put(term, (ids, ranks))
+        return ranks
+
+    def _eval_or_accumulator(self, terms: List[str]) -> Optional[_ScoreSet]:
+        """Multi-term OR as ONE dense score-accumulator pass over the doc
+        universe — O(Σ df) adds instead of sorting the Σ df concatenation
+        (np.unique), the classic accumulator design. Only when the sorted
+        universe array is already materialized (warm() pre-pays it) —
+        never triggers a metadata collect on its own. Summation order per
+        doc is left-to-right over the term list, identical to the chained
+        union_sum fallback, so scores are bit-identical."""
+        if self._all_ids is None or len(terms) < 3:
+            return None
+        universe = self._all_ids
+        acc = np.zeros(universe.size)
+        for t in terms:
+            ss = self._score_term(t)
+            if ss.ids.size == 0:
+                continue
+            ranks = self._term_ranks(t, ss.ids)
+            if ranks is None:
+                return None  # fall back to the sort-based union
+            acc[ranks] += ss.scores
+        nz = np.flatnonzero(acc)  # BM25 scores are strictly positive
+        return _ScoreSet(universe[nz], acc[nz])
+
     def _eval(self, node: Node, positions) -> _ScoreSet:
         if isinstance(node, Term):
             return self._score_term(node.term)
@@ -512,6 +567,12 @@ class LocalExecutor:
             rest = universe[~member_mask(universe, child.ids)]
             return _ScoreSet(rest, np.zeros(rest.size))
         if isinstance(node, Bool):
+            if node.op == "OR":
+                flat = self._flat_or_terms(node)
+                if flat is not None:
+                    got = self._eval_or_accumulator(flat)
+                    if got is not None:
+                        return got
             left = self._eval(node.left, positions)
             right = self._eval(node.right, positions)
             return (

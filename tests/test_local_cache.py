@@ -129,3 +129,37 @@ def test_conf_overrides_local_budgets(spark, fixture_index):
             spark.conf.unset(key)
         except Exception:
             pass
+
+
+# ----------------------------------------------------- accumulator OR path
+def test_or_accumulator_matches_union(spark, fixture_index):
+    """Multi-term OR through the dense rank-space accumulator must equal
+    the sort-based union bit-for-bit (same left-to-right add order),
+    including duplicate terms (score added twice)."""
+    from lse import querydsl
+
+    index_dir, _ = fixture_index
+    eng = SearchEngine(spark, index_dir)
+    eng.local.meta()  # materialize the universe → accumulator eligible
+    eng.local.all_doc_ids()
+    q = "java OR spark OR query OR java"  # duplicate on purpose
+    ast = querydsl.parse(q).ast
+    flat = eng.local._flat_or_terms(ast)
+    assert flat == ["java", "spark", "query", "java"]
+    hits_acc, total_acc = eng.local.execute(q, 1000)
+
+    ref = SearchEngine(spark, index_dir)
+    ref.local.meta()
+    ref.local._query_postings = {}
+    ref.local._prefix_terms = {}
+    ref.local.fetch_terms(["java", "spark", "query"], [])
+    s = ref.local._score_term("java").union_sum(ref.local._score_term("spark"))
+    s = s.union_sum(ref.local._score_term("query"))
+    s = s.union_sum(ref.local._score_term("java"))
+    assert total_acc == s.ids.size
+    got = {d: sc for d, sc in hits_acc}
+    import numpy as np
+
+    order = np.lexsort((s.ids, -s.scores))[:1000]
+    for i in order:
+        assert got[int(s.ids[i])] == pytest.approx(float(s.scores[i]), abs=1e-9)
