@@ -465,6 +465,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "vec_id", F.round("cos", 4).alias("cos")
         )
 
+    def q_ann_ivf(spark, sf):  # rows-only: k-means quantizer not in SQL
+        from lse.similarity import (
+            cosine_topk_ivf, ivf_assign, train_ivf_centroids,
+        )
+
+        e = spark.read.parquet(os.path.join(sf, "embeddings.parquet"))
+        qv = [
+            float(x)
+            for x in e.filter(F.col("vec_id") == 0).first()["embedding"]
+        ]
+        cent = train_ivf_centroids(e, n_cells=16, seed=11)
+        assigned = ivf_assign(e, cent)  # ingest-time cell id
+        return cosine_topk_ivf(assigned, cent, qv, k=10, n_probe=4).select(
+            "vec_id", F.round("cos", 4).alias("cos")
+        )
+
     def q_snippet_lines(spark, sf):
         """Q13 line-number math (highlight/SnippetGenerator.java:159-166):
         first case-insensitive occurrence offset + 1-based line number via
@@ -536,6 +552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "fingerprints": q_fingerprints,
         "ann_lsh_topk": q_ann_lsh,
+        "ann_ivf_topk": q_ann_ivf,
         "snippet_lines": q_snippet_lines,
     }
 

@@ -531,7 +531,7 @@ class LocalExecutor:
         never triggers a metadata collect on its own. Summation order per
         doc is left-to-right over the term list, identical to the chained
         union_sum fallback, so scores are bit-identical."""
-        if self._all_ids is None or len(terms) < 3:
+        if self._all_ids is None or len(terms) < 2:
             return None
         universe = self._all_ids
         acc = np.zeros(universe.size)

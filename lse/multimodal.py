@@ -120,6 +120,81 @@ def image_features(
     return df.select("id", batch_col).mapInPandas(run, schema)
 
 
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("sample_rate", T.IntegerType()),
+                    T.StructField("channels", T.IntegerType()),
+                    T.StructField("duration_ms", T.LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def _decode_audio(payload: bytes, backend: str):
+    """→ (samples float64 (n, ch) in [-1,1], sample_rate). 'real' decodes
+    RIFF/PCM WAV with the pure-stdlib codec (lse.wav); non-WAV payloads
+    raise ValueError (loud skip). 'fake' is the deterministic stand-in."""
+    if backend == "real":
+        from .wav import decode_wav
+
+        return decode_wav(bytes(payload))
+    rng = _payload_rng(payload)
+    n = int(rng.integers(64, 512))
+    ch = int(rng.integers(1, 3))
+    return rng.uniform(-1.0, 1.0, size=(n, ch)), 8000
+
+
+def audio_features(
+    df: DataFrame, backend: str = "fake", batch_col: str = "payload"
+) -> DataFrame:
+    """(id, sample_rate, channels, n_frames, duration_ms, rms, zcr) — decode
+    + per-clip summary features, Arrow-batched. rms over the mono mix; zcr
+    = zero-crossing fraction of the mono mix."""
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("duration_ms", T.LongType()),
+            T.StructField("rms", T.DoubleType()),
+            T.StructField("zcr", T.DoubleType()),
+        ]
+    )
+
+    def run(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("id", "sample_rate", "channels", "n_frames",
+                    "duration_ms", "rms", "zcr")}
+            for i, payload in zip(pdf["id"], pdf[batch_col]):
+                samples, rate = _decode_audio(bytes(payload), backend)
+                mono = samples.mean(axis=1)
+                n = mono.size
+                out["id"].append(int(i))
+                out["sample_rate"].append(int(rate))
+                out["channels"].append(int(samples.shape[1]))
+                out["n_frames"].append(n)
+                out["duration_ms"].append(int(round(n * 1000.0 / rate)))
+                out["rms"].append(float(np.sqrt((mono ** 2).mean())) if n else 0.0)
+                out["zcr"].append(
+                    float((np.signbit(mono[1:]) != np.signbit(mono[:-1])).mean())
+                    if n > 1
+                    else 0.0
+                )
+            yield pd.DataFrame(out)
+
+    return df.select("id", batch_col).mapInPandas(run, schema)
+
+
 def image_resize_meta(df: DataFrame, max_side: int = 16, backend: str = "fake") -> DataFrame:
     """(id, new_width, new_height): the resize plan (aspect-preserving) —
     decode + resize stub returning target geometry."""

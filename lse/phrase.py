@@ -83,11 +83,14 @@ def match_phrase(
         if t not in per_term or per_term[t][0].size == 0:
             return _EMPTY
 
-    # 1. candidate docs: intersect doc sets, smallest first
+    # 1. candidate docs: intersect doc sets, smallest first (binary-search
+    # membership — both sides are sorted-unique, no concat-and-sort)
+    from .ids import member_mask
+
     by_size = sorted(distinct, key=lambda t: per_term[t][0].size)
     cand = per_term[by_size[0]][0]
     for t in by_size[1:]:
-        cand = np.intersect1d(cand, per_term[t][0], assume_unique=True)
+        cand = cand[member_mask(cand, per_term[t][0])]
         if cand.size == 0:
             return cand
     n_terms = len(terms)
@@ -101,15 +104,21 @@ def match_phrase(
         cidx = np.repeat(np.arange(cand.size, dtype=np.int64), sel_counts)
         return (cidx << np.int64(32)) | (sel_flat - shift + n_terms)
 
+    # packed keys are STRICTLY ascending by construction (docs ascend, and
+    # positions strictly ascend within a doc), so slot intersection is a
+    # binary-search membership test, not np.isin's internal sort; the final
+    # doc extraction dedupes a sorted array with one neighbor compare
     running = packed_keys(terms[0], 0)
     for i, t in enumerate(terms[1:], start=1):
         if running.size == 0:
             return _EMPTY
-        running = running[np.isin(running, packed_keys(t, i))]
+        running = running[member_mask(running, packed_keys(t, i))]
     if running.size == 0:
         return _EMPTY
-    matched_idx = np.unique(running >> np.int64(32))
-    return cand[matched_idx]
+    docs = running >> np.int64(32)
+    first = np.ones(docs.size, dtype=bool)
+    first[1:] = docs[1:] != docs[:-1]
+    return cand[docs[first]]
 
 
 def merge_shards(shards: List[TermPositions]) -> TermPositions:

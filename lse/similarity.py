@@ -8,6 +8,13 @@
   only data scanned. The scale path — bucket assignment is computed at
   ingest (signature column, partition/cluster by it) so a query touches
   ~N/2^planes rows.
+* cosine_topk_ivf  — IVF (inverted-file) variant: a k-means coarse
+  quantizer trained on a driver-side sample assigns every vector to its
+  nearest centroid at INGEST (`ivf_assign`); a query ranks centroids by
+  similarity and scans only the ``n_probe`` best cells — data-adaptive
+  partitioning (unlike LSH's data-oblivious hyperplanes), the classic
+  IVF-Flat layout. At 100 TB the cell id is the partition/cluster key, so
+  a query touches ~N·n_probe/n_cells rows.
 """
 
 from __future__ import annotations
@@ -122,4 +129,101 @@ def cosine_topk_lsh(
             frontier = {s ^ (1 << p) for s in frontier for p in range(planes)}
             probe |= frontier
     pruned = emb_with_sig.filter(F.col(sig_col).isin(sorted(probe)))
+    return cosine_topk(pruned, query_vec, k, id_col=id_col, vec_col=vec_col)
+
+
+# --------------------------------------------------------------------- IVF
+def train_ivf_centroids(
+    emb: DataFrame,
+    n_cells: int = 16,
+    seed: int = 11,
+    iters: int = 10,
+    sample_cap: int = 50_000,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Spherical k-means coarse quantizer on a bounded driver-side sample.
+
+    Vectors are L2-normalized (cosine == dot thereafter); Lloyd iterations
+    run in bulk numpy; empty cells re-seed deterministically from the
+    farthest points. The sample cap bounds driver memory — at 100 TB the
+    quantizer trains on a sample regardless (standard IVF practice)."""
+    rows = emb.select(vec_col).limit(sample_cap).collect()
+    x = np.asarray([r[vec_col] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    x = x / np.maximum(norms, 1e-12)
+    n = x.shape[0]
+    rng = np.random.default_rng(seed)
+    k = min(n_cells, n)
+    cent = x[rng.choice(n, size=k, replace=False)]
+    for _ in range(iters):
+        sims = x @ cent.T  # (n, k) cosine
+        assign = np.argmax(sims, axis=1)
+        new = np.zeros_like(cent)
+        np.add.at(new, assign, x)
+        counts = np.bincount(assign, minlength=k)
+        empty = counts == 0
+        if empty.any():
+            # re-seed empty cells from the worst-assigned points
+            worst = np.argsort(sims[np.arange(n), assign])[: int(empty.sum())]
+            new[empty] = x[worst]
+            counts[empty] = 1
+        cent = new / np.maximum(
+            np.linalg.norm(new, axis=1, keepdims=True), 1e-12
+        )
+    return cent
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    out: str = "ivf_cell",
+) -> DataFrame:
+    """Append each vector's nearest-centroid cell id — the INGEST-time step
+    (cluster/partition the table by this column at scale). Arrow-batched
+    numpy: one (batch × cells) matmul per batch."""
+    import pandas as pd
+
+    cent = np.ascontiguousarray(centroids, dtype=np.float64)
+    cols = emb.columns
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf):
+                x = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+                x = x / np.maximum(
+                    np.linalg.norm(x, axis=1, keepdims=True), 1e-12
+                )
+                pdf = pdf.copy()
+                pdf[out] = np.argmax(x @ cent.T, axis=1).astype(np.int32)
+            else:
+                pdf = pdf.copy()
+                pdf[out] = pd.Series(dtype="int32")
+            yield pdf
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(emb.schema.fields) + [T.StructField(out, T.IntegerType())]
+    )
+    return emb.mapInPandas(run, schema)
+
+
+def cosine_topk_ivf(
+    emb_with_cell: DataFrame,
+    centroids: np.ndarray,
+    query_vec: Sequence[float],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "ivf_cell",
+) -> DataFrame:
+    """Approximate top-k scanning only the ``n_probe`` cells whose
+    centroids are most similar to the query; exact cosine within them."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    order = np.argsort(-(centroids @ qn), kind="stable")
+    probe = [int(c) for c in order[: max(1, n_probe)]]
+    pruned = emb_with_cell.filter(F.col(cell_col).isin(probe))
     return cosine_topk(pruned, query_vec, k, id_col=id_col, vec_col=vec_col)

@@ -27,6 +27,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPLICATION = int(os.environ.get("LSE_SCALE_REPLICATION", "64"))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+# LSE_SCALE_TMPDIR=/dev/shm removes the single shared DISK from the loop
+# (index + shuffle dirs on tmpfs): the criterion describes N→4N executors
+# each adding disks/NIC/memory channels, which one spindle cannot emulate —
+# tmpfs exposes the plan's actual CPU scalability on this box.
+SCALE_TMP = os.environ.get("LSE_SCALE_TMPDIR", tempfile.gettempdir())
 # identical physical plan at both parallelism levels: only the core count
 # differs, the partitioning of every stage is pinned
 PARTITIONS = int(os.environ.get("LSE_SCALE_PARTITIONS", "64"))
@@ -36,6 +41,20 @@ QUERIES = [
 ]
 
 
+def _master_for(cores: int) -> str:
+    """local[cores] by default. LSE_SCALE_MASTER_TMPL switches to REAL
+    multi-executor mode on one box — e.g. 'local-cluster[{n},8,6144]'
+    spawns {n}=cores//8 SEPARATE executor JVMs × 8 cores each, with real
+    netty shuffle between them: the closest in-sandbox realization of the
+    north rule's 'N vs 4N executors' (each executor gets its own JVM heap,
+    GC, and python worker pool — the artifacts a single-JVM local[k] run
+    shares across all threads)."""
+    tmpl = os.environ.get("LSE_SCALE_MASTER_TMPL")
+    if tmpl:
+        return tmpl.format(n=max(1, cores // 8))
+    return f"local[{cores}]"
+
+
 def run_at(cores: int) -> dict:
     from pyspark.sql import functions as F
 
@@ -43,9 +62,29 @@ def run_at(cores: int) -> dict:
     from lse.engine import SearchEngine
     from lse.session import get_spark
 
+    extra = {"spark.local.dir": SCALE_TMP}
+    if os.environ.get("LSE_SCALE_MASTER_TMPL"):
+        extra["spark.executor.memory"] = os.environ.get(
+            "LSE_SCALE_EXEC_MEM", "6g"
+        )
     spark = get_spark(
-        f"lse-scale-{cores}", master=f"local[{cores}]", shuffle_partitions=PARTITIONS
+        f"lse-scale-{cores}", master=_master_for(cores),
+        shuffle_partitions=PARTITIONS, extra_conf=extra,
     )
+    if os.environ.get("LSE_SCALE_MASTER_TMPL"):
+        # separate executor JVMs spawn their own python workers, which do
+        # NOT inherit the driver's sys.path — ship the package the way a
+        # real cluster submit would (spark-submit --py-files / addPyFile)
+        import zipfile
+
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        zpath = os.path.join(tempfile.gettempdir(), "lse_pkg.zip")
+        with zipfile.ZipFile(zpath, "w") as z:
+            pkg = os.path.join(repo_root, "lse")
+            for f in sorted(os.listdir(pkg)):
+                if f.endswith(".py"):
+                    z.write(os.path.join(pkg, f), arcname=f"lse/{f}")
+        spark.sparkContext.addPyFile(zpath)
     spark.sparkContext.setLogLevel("ERROR")
     try:
         docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
@@ -67,7 +106,7 @@ def run_at(cores: int) -> dict:
             F.lit("").alias("commit"),
         )
         n_files = base_n * REPLICATION
-        index_dir = tempfile.mkdtemp(prefix=f"lse_scale_{cores}_")
+        index_dir = tempfile.mkdtemp(prefix=f"lse_scale_{cores}_", dir=SCALE_TMP)
         t0 = time.perf_counter()
         build_index(
             spark, big, index_dir,
@@ -150,7 +189,8 @@ def main() -> None:
         query_warm_low=low.get("query_warm", {}),
         query_warm_high=high.get("query_warm", {}),
     )
-    with open("BENCH_SCALING.json", "w") as fh:
+    out_path = os.environ.get("LSE_SCALE_OUT", "BENCH_SCALING.json")
+    with open(out_path, "w") as fh:
         json.dump(out, fh, indent=2)
     print(json.dumps(out, indent=2))
 

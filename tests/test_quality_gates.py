@@ -104,3 +104,60 @@ def test_simhash_orders_similarity(spark):
 
     assert ham(h[0], h[1]) < ham(h[0], h[2])
     assert ham(h[0], h[1]) <= 12  # near-dup stays inside a small radius
+
+
+def test_ann_ivf_recall_at_10(spark):
+    """IVF recall gate on the same structured corpus shape as the LSH gate:
+    the coarse quantizer must put the query's neighborhood into few cells,
+    and probing 4 of 16 cells must recover >=0.9 of the exact top-10 —
+    while genuinely pruning (the probed cells hold a strict subset of
+    rows)."""
+    rng = np.random.default_rng(7)
+    dim = 32
+    base = rng.standard_normal((400, dim))
+    q = rng.standard_normal(dim)
+    planted = q[None, :] + rng.standard_normal((12, dim)) * 0.25
+    vecs = np.vstack([base, planted])
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<double>",
+    )
+    qv = [float(x) for x in q]
+    exact = [r["vec_id"] for r in similarity.cosine_topk(emb, qv, k=10).collect()]
+    cent = similarity.train_ivf_centroids(emb, n_cells=16, seed=11)
+    assert cent.shape == (16, dim)
+    assigned = similarity.ivf_assign(emb, cent).cache()
+    try:
+        # every vector got exactly one cell; cells genuinely partition
+        counts = dict(
+            assigned.groupBy("ivf_cell").count().collect()
+        )
+        assert sum(c[1] for c in counts.items()) == len(vecs)
+        approx = [
+            r["vec_id"]
+            for r in similarity.cosine_topk_ivf(
+                assigned, cent, qv, k=10, n_probe=4
+            ).collect()
+        ]
+        recall = len(set(exact) & set(approx)) / len(exact)
+        assert recall >= 0.9, (recall, exact, approx)
+        # pruning is real: 4 probed cells hold well under half the corpus
+        qn = np.asarray(qv) / np.linalg.norm(qv)
+        order = np.argsort(-(cent @ qn))[:4]
+        probed_rows = sum(counts.get(int(c), 0) for c in order)
+        assert probed_rows < len(vecs) * 0.6, (probed_rows, len(vecs))
+    finally:
+        assigned.unpersist()
+
+
+def test_ivf_deterministic_and_empty_cell_reseed(spark):
+    """Same seed -> identical centroids; k > distinct-points still yields k
+    centroids (empty cells re-seeded)."""
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), float((i + 1) % 3)]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    a = similarity.train_ivf_centroids(emb, n_cells=8, seed=3)
+    b = similarity.train_ivf_centroids(emb, n_cells=8, seed=3)
+    np.testing.assert_array_equal(a, b)
+    assert a.shape[0] == 8
