@@ -20,6 +20,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from lse import querydsl
 from lse.build import build_index, tokenize_to_term_doc
 from lse.constants import BM25_B, BM25_K1, STOPWORDS
 from lse.engine import SearchEngine
@@ -137,6 +138,45 @@ def _inc_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
                 precomputed_doc_id=True, n_buckets=8, index_partitions=8,
             )
             apply_incremental(spark, idx, src, index_partitions=8)
+            with open(marker, "w") as fh:
+                fh.write("done")
+        _ENGINE_CACHE[key] = SearchEngine(spark, idx)
+    return _ENGINE_CACHE[key]
+
+
+def _stream_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
+    """Engine over an index built ENTIRELY through the Structured Streaming
+    ingest path (lse.streaming): the documents table is split into two
+    arrival chunks under a file-source directory; ``stream_index`` drains
+    them with maxFilesPerTrigger=1 (first micro-batch bootstraps the base
+    index, later ones apply idempotent upserts). The logical corpus
+    afterwards must equal the raw documents table — checked by the same
+    DuckDB scored-CTE oracle the batch build uses."""
+    key = (id(spark), sf_dir, "stream")
+    if key not in _ENGINE_CACHE:
+        from lse.streaming import stream_index
+
+        idx = _index_dir(sf_dir) + "_stream"
+        marker = os.path.join(idx, "_STREAM_DONE")
+        if not os.path.exists(marker):
+            src = _docs_source(spark, sf_dir).drop("doc_id")
+            import tempfile
+
+            arrivals = tempfile.mkdtemp(prefix="lse_stream_src_")
+            ck = tempfile.mkdtemp(prefix="lse_stream_ck_")
+            a = src.filter(F.crc32(F.concat("repo", "path")) % 2 == 0)
+            b = src.filter(F.crc32(F.concat("repo", "path")) % 2 == 1)
+            a.coalesce(1).write.parquet(os.path.join(arrivals, "chunk_0"))
+            b.coalesce(1).write.parquet(os.path.join(arrivals, "chunk_1"))
+            stream = (
+                spark.readStream.schema(src.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(arrivals + "/*")
+            )
+            q = stream_index(
+                spark, stream, idx, ck, n_buckets=8, index_partitions=8
+            )
+            q.awaitTermination(600)
             with open(marker, "w") as fh:
                 fh.write("done")
         _ENGINE_CACHE[key] = SearchEngine(spark, idx)
@@ -465,6 +505,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "vec_id", F.round("cos", 4).alias("cos")
         )
 
+    def q_stream_term_scores(spark, sf):
+        """S-path end-to-end through Structured Streaming ingest: after
+        draining two micro-batches (bootstrap + upsert) the score multiset
+        for 'spark' must equal the batch-built corpus' — the same DuckDB
+        scored-CTE oracle as incremental_term_scores (doc ids differ by
+        generation salt, scores must not)."""
+        eng = _stream_engine(spark, sf)
+        return _r6(
+            eng.compile(querydsl.parse("spark").ast).select("score")
+        )
+
+    def q_audio_features(spark, sf):  # rows-only: deterministic fake decode
+        from lse.multimodal import audio_features
+
+        d = spark.read.parquet(os.path.join(sf, "documents.parquet")).select(
+            F.col("doc_id").alias("id"),
+            F.encode(F.col("text"), "utf-8").alias("payload"),
+        )
+        return audio_features(d, backend="fake").select(
+            "id", "n_frames", "duration_ms", F.round("rms", 6).alias("rms")
+        )
+
     def q_ann_ivf(spark, sf):  # rows-only: k-means quantizer not in SQL
         from lse.similarity import (
             cosine_topk_ivf, ivf_assign, train_ivf_centroids,
@@ -554,6 +616,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh,
         "ann_ivf_topk": q_ann_ivf,
         "snippet_lines": q_snippet_lines,
+        "stream_term_scores": q_stream_term_scores,
+        "audio_features": q_audio_features,
     }
 
 
@@ -649,6 +713,8 @@ def oracle_sql() -> dict[str, str]:
             allt AS (SELECT * FROM pure UNION ALL SELECT * FROM mixed)
             SELECT doc_id, term, count(*) AS tf FROM allt GROUP BY 1, 2""",
         "incremental_term_scores": _TOK_CTE
+        + "SELECT round(score, 6) AS score FROM scored WHERE term = 'spark'",
+        "stream_term_scores": _TOK_CTE
         + "SELECT round(score, 6) AS score FROM scored WHERE term = 'spark'",
         "incremental_count": _TOK_CTE
         + """SELECT (SELECT count(DISTINCT doc_id) FROM tf

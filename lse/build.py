@@ -228,6 +228,7 @@ def build_index(
     build_id: Optional[str] = None,
     resume: bool = True,
     stop_after_stage: Optional[str] = None,
+    cache_term_doc: Optional[bool] = None,
 ) -> Optional[BuildResult]:
     """Build (or resume) the full index under ``index_dir``.
 
@@ -322,7 +323,21 @@ def build_index(
     )
     from pyspark import StorageLevel
 
-    term_doc = term_doc.persist(StorageLevel.MEMORY_AND_DISK)
+    # term_doc has three consumers (stats agg, doc_stats, postings encode).
+    # Caching trades 2 recomputes of the (cheap, embarrassingly parallel)
+    # tokenize for a multi-GB block-manager resident set — which at high
+    # thread counts in ONE JVM causes cache-eviction/GC churn that can
+    # INVERT thread scaling (measured: the 32-thread build loses to the
+    # 8-thread build only when this persist is on). Default: cache only at
+    # low parallelism; override per call or via LSE_BUILD_CACHE_TERM_DOC.
+    if cache_term_doc is None:
+        env = os.environ.get("LSE_BUILD_CACHE_TERM_DOC")
+        if env is not None:
+            cache_term_doc = env not in ("0", "false", "no")
+        else:
+            cache_term_doc = spark.sparkContext.defaultParallelism <= 16
+    if cache_term_doc:
+        term_doc = term_doc.persist(StorageLevel.MEMORY_AND_DISK)
 
     # --------------------------------------------------------- stage: stats
     if not committed("stats"):
@@ -427,7 +442,8 @@ def build_index(
         )
         ran.append("manifest")
 
-    term_doc.unpersist()
+    if cache_term_doc:
+        term_doc.unpersist()
     meta = dict(
         build_id=build_id,
         built_at_unix=int(t0),

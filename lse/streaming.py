@@ -52,6 +52,12 @@ def upsert_batch(
     """
     from .build import build_index
 
+    if "doc_id" in batch.columns:
+        # ids are assigned by the index (base hash / generation-salted
+        # delta), never taken from the stream — and a doc_id column would
+        # collide with the live-docs join below
+        batch = batch.drop("doc_id")
+
     deltas_root = os.path.join(index_dir, "deltas")
     gen = 1
     if os.path.exists(deltas_root):
