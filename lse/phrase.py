@@ -106,13 +106,19 @@ def match_phrase(
 
     # packed keys are STRICTLY ascending by construction (docs ascend, and
     # positions strictly ascend within a doc), so slot intersection is a
-    # binary-search membership test, not np.isin's internal sort; the final
+    # binary-search membership test, not np.isin's internal sort — with the
+    # SMALLER array as the needles (min(n,m)·log max(n,m): a rare term
+    # chained against a hot one pays the rare side's length); the final
     # doc extraction dedupes a sorted array with one neighbor compare
+    def _intersect_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        small, big = (a, b) if a.size <= b.size else (b, a)
+        return small[member_mask(small, big)]
+
     running = packed_keys(terms[0], 0)
     for i, t in enumerate(terms[1:], start=1):
         if running.size == 0:
             return _EMPTY
-        running = running[member_mask(running, packed_keys(t, i))]
+        running = _intersect_sorted(running, packed_keys(t, i))
     if running.size == 0:
         return _EMPTY
     docs = running >> np.int64(32)

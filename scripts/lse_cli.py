@@ -26,10 +26,11 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def load_source(spark, path: str):
+def adapt_source(df):
+    """Map a documents-style table onto the input_hint shape (works on both
+    batch and streaming DataFrames)."""
     from pyspark.sql import functions as F
 
-    df = spark.read.parquet(path)
     if "content" not in df.columns and "text" in df.columns:
         df = df.withColumnRenamed("text", "content")
     if "repo" not in df.columns and "source" in df.columns:
@@ -40,6 +41,10 @@ def load_source(spark, path: str):
             F.concat(F.col("repo"), F.lit("/doc_"), F.col("doc_id").cast("string")),
         )
     return df
+
+
+def load_source(spark, path: str):
+    return adapt_source(spark.read.parquet(path))
 
 
 def main() -> int:
@@ -54,6 +59,11 @@ def main() -> int:
         s.add_argument("--partitions", type=int, default=32)
         s.add_argument("--no-positions", action="store_true")
         s.add_argument("--store-content", action="store_true")
+        s.add_argument("--tree", action="store_true",
+                       help="--source is a raw file tree (distributed "
+                            "binaryFile scan), not a parquet table")
+        s.add_argument("--glob", default=None,
+                       help="pathGlobFilter for --tree, e.g. '*.py'")
 
     s = sub.add_parser("search")
     s.add_argument("--index", required=True)
@@ -79,6 +89,15 @@ def main() -> int:
     s.add_argument("--source", required=True)
     s.add_argument("--index", required=True)
 
+    s = sub.add_parser("stream")  # Structured Streaming ingest (file source)
+    s.add_argument("--source", required=True, help="parquet dir watched as a stream")
+    s.add_argument("--index", required=True)
+    s.add_argument("--checkpoint", required=True)
+    s.add_argument("--continuous", metavar="INTERVAL", default=None,
+                   help="micro-batch cadence, e.g. '10 seconds'; default drains once")
+    s.add_argument("--buckets", type=int, default=8)
+    s.add_argument("--partitions", type=int, default=32)
+
     args = p.parse_args()
 
     from lse.session import get_spark
@@ -91,9 +110,15 @@ def main() -> int:
 
             if args.cmd == "rebuild" and os.path.exists(args.index):
                 shutil.rmtree(args.index)  # MainCommand.java:264-283
+            if args.tree:
+                from lse.sources import read_file_tree
+
+                source_df = read_file_tree(spark, args.source, path_glob=args.glob)
+            else:
+                source_df = load_source(spark, args.source)
             res = build_index(
                 spark,
-                load_source(spark, args.source),
+                source_df,
                 args.index,
                 n_buckets=args.buckets,
                 index_partitions=args.partitions,
@@ -146,6 +171,24 @@ def main() -> int:
                 spark, args.index, load_source(spark, args.source)
             )
             print(json.dumps(res))
+        elif args.cmd == "stream":
+            from lse.streaming import stream_index
+
+            # schema comes from a batch read of the same dir (file-source
+            # streams require an explicit schema); the same column
+            # adaptation applies to the stream
+            schema = spark.read.parquet(args.source).schema
+            stream = adapt_source(
+                spark.readStream.schema(schema).parquet(args.source)
+            )
+            q = stream_index(
+                spark, stream, args.index, args.checkpoint,
+                trigger_once=args.continuous is None,
+                processing_time=args.continuous,
+                n_buckets=args.buckets, index_partitions=args.partitions,
+            )
+            q.awaitTermination()
+            print(json.dumps(dict(streamed=True, index=args.index)))
     finally:
         spark.stop()
     return 0

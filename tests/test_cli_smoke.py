@@ -59,3 +59,29 @@ def test_search_json_parse_error_exit_code(spark, fixture_index, capsys, monkeyp
         capsys,
     )
     assert rc == 2
+
+
+def test_cli_stream_ingest(spark, tmp_path, capsys, monkeypatch):
+    """`lse stream` drains a parquet arrival dir into an index whose
+    queries match the library path."""
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    from lse.fixtures import make_repos_df
+
+    src = make_repos_df(spark, n_docs=40, partitions=1).select(
+        "repo", "path", "commit", "lang", "content"
+    )
+    arrivals = str(tmp_path / "arrivals")
+    src.coalesce(1).write.parquet(arrivals)
+    idx = str(tmp_path / "idx")
+    rc, out = _run_cli(
+        ["stream", "--source", arrivals, "--index", idx,
+         "--checkpoint", str(tmp_path / "ck"),
+         "--buckets", "2", "--partitions", "2"],
+        capsys,
+    )
+    assert rc in (0, None)
+    assert json.loads(out.strip().splitlines()[-1])["streamed"] is True
+    from lse.engine import SearchEngine
+
+    hits, total = SearchEngine(spark, idx).search_result("java", 10)
+    assert total > 0
