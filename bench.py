@@ -98,8 +98,9 @@ def main() -> None:
                     # lazy block-max WAND kernel, forced
                     engine.search_topk(q, 10, strategy="wand")
                 elif name.endswith("_bucket"):
-                    # vectorized bucket tier (search_topk default)
-                    engine.search_topk(q, 10)
+                    # vectorized bucket tier, forced (auto would route
+                    # these to the local tier at this scale)
+                    engine.search_topk(q, 10, strategy="bucket")
                 else:
                     engine.search_result(q, 10)  # auto routing
 

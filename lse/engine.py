@@ -1143,6 +1143,10 @@ class SearchEngine:
             terms is not None and bool(terms) and result.sort is None
             and not self.tomb_ids.size and not self.multi_segment
         )
+        if strategy == "auto" and self.local.can_execute(result.ast):
+            # the local numpy tier is fastest whenever its byte budgets
+            # admit the query — same routing search_result applies
+            return self.local.execute(query, limit)[0]
         if (
             strategy == "auto"
             and wand_eligible
