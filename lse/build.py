@@ -324,18 +324,15 @@ def build_index(
     from pyspark import StorageLevel
 
     # term_doc has three consumers (stats agg, doc_stats, postings encode).
-    # Caching trades 2 recomputes of the (cheap, embarrassingly parallel)
-    # tokenize for a multi-GB block-manager resident set — which at high
-    # thread counts in ONE JVM causes cache-eviction/GC churn that can
-    # INVERT thread scaling (measured: the 32-thread build loses to the
-    # 8-thread build only when this persist is on). Default: cache only at
-    # low parallelism; override per call or via LSE_BUILD_CACHE_TERM_DOC.
+    # Caching trades 2 full recomputes (tokenize + explode + agg — ~100 s
+    # per pass on a 5 GB corpus) for a block-manager resident set; the
+    # 100k-file/5 GB target bench measures 256 s cached vs 392 s uncached
+    # at 32 threads (BENCH_TARGET.json), and at 1.28 M docs an A/B shows
+    # no penalty. Default ON; disable per call or via
+    # LSE_BUILD_CACHE_TERM_DOC=0 for memory-constrained drivers.
     if cache_term_doc is None:
         env = os.environ.get("LSE_BUILD_CACHE_TERM_DOC")
-        if env is not None:
-            cache_term_doc = env not in ("0", "false", "no")
-        else:
-            cache_term_doc = spark.sparkContext.defaultParallelism <= 16
+        cache_term_doc = env is None or env not in ("0", "false", "no")
     if cache_term_doc:
         term_doc = term_doc.persist(StorageLevel.MEMORY_AND_DISK)
 
