@@ -67,6 +67,7 @@ POSTINGS_SCHEMA = T.StructType(
     [
         T.StructField("term", T.StringType()),
         T.StructField("bucket", T.IntegerType()),
+        T.StructField("df", T.LongType()),
         T.StructField("df_shard", T.LongType()),
         T.StructField("doc_lo", T.LongType()),
         T.StructField("doc_hi", T.LongType()),
@@ -197,6 +198,7 @@ def _encode_groups(avgdl: float, with_positions: bool):
             {
                 "term": [term],
                 "bucket": [bucket],
+                "df": [int(pdf["df"].iloc[0])],
                 "df_shard": [enc.df],
                 "doc_lo": [int(ids[0])],
                 "doc_hi": [int(ids[-1])],
@@ -391,17 +393,28 @@ def build_index(
         # with an unfloored 0<avgdl<1 would understate the bound and let WAND
         # prune blocks containing true top-k docs
         score_avgdl = max(float(stats["avgdl"]), 1.0)
+        # global df joins into the THIN (doc,term) frame BEFORE encoding:
+        # the join's term-hash shuffle already satisfies the (term,bucket)
+        # clustered distribution the encode groupBy needs, so this costs no
+        # extra exchange — and the alternative (joining df onto the encoded
+        # output) would shuffle every multi-KB blob by term, or force a
+        # driver-sized broadcast of a 10^8-term vocabulary at full scale.
+        df_global = term_doc.groupBy("term").agg(F.count("*").alias("df"))
         enc = (
             term_doc.select("term", "bucket", "doc_id", "tf", "dl", "positions")
+            .join(df_global, "term")
             .groupBy("term", "bucket")
             .applyInPandas(
                 _encode_groups(score_avgdl, with_positions), POSTINGS_SCHEMA
             )
         )
-        df_global = enc.groupBy("term").agg(F.sum("df_shard").alias("df"))
-        postings = enc.join(df_global, "term")
-        commit("postings", postings, partition_cols=["term", "bucket"],
+        # the kernel output still has TWO consumers (repartitionByRange's
+        # boundary sampling + the write) — persist so the most expensive
+        # kernel of the build runs once, not per consumer
+        enc = enc.persist(StorageLevel.MEMORY_AND_DISK)
+        commit("postings", enc, partition_cols=["term", "bucket"],
                sort_cols=["term", "bucket"], how="range")
+        enc.unpersist()
     if stop_requested("postings"):
         return None
 
