@@ -143,36 +143,86 @@ def tokenize_to_arrays(docs: DataFrame, enable_stopwords: bool = True) -> DataFr
     return docs.select("doc_id", "content").mapInPandas(run, TOKENS_SCHEMA)
 
 
+TERM_DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("term", T.StringType()),
+        T.StructField("tf", T.IntegerType()),
+        T.StructField("dl", T.IntegerType()),
+        T.StructField("positions", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+
 def tokenize_to_term_doc(docs: DataFrame, enable_stopwords: bool = True,
                          with_positions: bool = True) -> DataFrame:
     """(doc_id, content) → (doc_id, term, tf, dl, positions).
 
-    The tokenizer UDF emits per-doc term arrays (Arrow, one row per doc);
-    posexplode + hash aggregation run in whole-stage codegen with native
-    map-side partial aggregation (reference T1–T5 + A1). Positions are the
-    emitted-token indices, so ``posexplode``'s index IS the position."""
-    tok = tokenize_to_arrays(docs, enable_stopwords)
-    exploded = tok.select(
-        "doc_id",
-        F.size("terms").alias("dl"),
-        F.posexplode("terms").alias("position", "term"),
-    )
-    aggs = [
-        F.count("*").cast("int").alias("tf"),
-        F.first("dl").cast("int").alias("dl"),
-    ]
-    if with_positions:
-        aggs.append(
-            F.sort_array(F.collect_list(F.col("position").cast("int"))).alias(
-                "positions"
+    The per-doc grouping happens INSIDE the tokenizer batch, where the doc
+    is already local to the worker: one Arrow row out per DISTINCT
+    (doc, term) with tf/dl/positions, fully vectorized (factorize → packed
+    int64 keys → one stable argsort per batch — no per-doc Python). The
+    alternative (posexplode + groupBy(doc_id, term)) SHUFFLES the entire
+    token stream — every position, once — before the (term, bucket) encode
+    shuffle moves it again; at 100 TB that doubles the build's largest data
+    movement. This way the token stream crosses the wire exactly once.
+    Positions are the emitted-token indices (reference T1–T5 + A1
+    semantics; tokenizer drops never consume a position)."""
+
+    def run(batches: Iterable[pd.DataFrame]):
+        empty = {
+            "doc_id": pd.Series(dtype="int64"),
+            "term": pd.Series(dtype="object"),
+            "tf": pd.Series(dtype="int32"),
+            "dl": pd.Series(dtype="int32"),
+            "positions": pd.Series(dtype="object"),
+        }
+        for pdf in batches:
+            token_lists = tokenize_batch(pdf["content"], enable_stopwords)
+            n_docs = len(pdf)
+            counts = np.fromiter(
+                (len(t) for t in token_lists), dtype=np.int64, count=n_docs
             )
-        )
-    out = exploded.groupBy("doc_id", "term").agg(*aggs)
-    if not with_positions:
-        out = out.withColumn(
-            "positions", F.lit(None).cast(T.ArrayType(T.IntegerType()))
-        )
-    return out.select("doc_id", "term", "tf", "dl", "positions")
+            total = int(counts.sum())
+            if total == 0:
+                yield pd.DataFrame(empty)
+                continue
+            flat = np.empty(total, dtype=object)
+            o = 0
+            for toks in token_lists:
+                flat[o : o + len(toks)] = toks
+                o += len(toks)
+            codes, uniq_terms = pd.factorize(flat)  # hash-based, no sort
+            doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+            ends = np.cumsum(counts)
+            pos_in_doc = (
+                np.arange(total, dtype=np.int64)
+                - np.repeat(ends - counts, counts)
+            )
+            key = (doc_idx << np.int64(32)) | codes.astype(np.int64)
+            order = np.argsort(key, kind="stable")  # keeps pos ascending
+            ks = key[order]
+            first = np.ones(total, dtype=bool)
+            first[1:] = ks[1:] != ks[:-1]
+            starts = np.flatnonzero(first)
+            tf = np.diff(np.append(starts, total)).astype(np.int32)
+            gkey = ks[starts]
+            g_doc = (gkey >> np.int64(32)).astype(np.int64)
+            g_code = (gkey & np.int64(0xFFFFFFFF)).astype(np.int64)
+            out = {
+                "doc_id": pdf["doc_id"].to_numpy(dtype=np.int64)[g_doc],
+                "term": uniq_terms[g_code],
+                "tf": tf,
+                "dl": counts[g_doc].astype(np.int32),
+            }
+            if with_positions:
+                sorted_pos = pos_in_doc[order].astype(np.int32)
+                out["positions"] = np.split(sorted_pos, starts[1:])
+            else:
+                out["positions"] = [None] * starts.size
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id", "content").mapInPandas(run, TERM_DOC_SCHEMA)
 
 
 def _encode_groups(avgdl: float, with_positions: bool):
