@@ -118,42 +118,6 @@ def _doctype_expr():
     return expr
 
 
-TOKENS_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_id", T.LongType()),
-        T.StructField("terms", T.ArrayType(T.StringType())),
-    ]
-)
-
-
-def tokenize_to_arrays(docs: DataFrame, enable_stopwords: bool = True) -> DataFrame:
-    """(doc_id, content) → (doc_id, terms array<string>) — the only Python
-    step of the build. One Arrow batch in, ONE ROW PER DOC out; everything
-    row-multiplying stays JVM-side."""
-
-    def run(batches: Iterable[pd.DataFrame]):
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "terms": tokenize_batch(pdf["content"], enable_stopwords),
-                }
-            )
-
-    return docs.select("doc_id", "content").mapInPandas(run, TOKENS_SCHEMA)
-
-
-TERM_DOC_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_id", T.LongType()),
-        T.StructField("term", T.StringType()),
-        T.StructField("tf", T.IntegerType()),
-        T.StructField("dl", T.IntegerType()),
-        T.StructField("positions", T.ArrayType(T.IntegerType())),
-    ]
-)
-
-
 def tokenize_to_term_doc(docs: DataFrame, enable_stopwords: bool = True,
                          with_positions: bool = True) -> DataFrame:
     """(doc_id, content) → (doc_id, term, tf, dl, positions).
