@@ -532,9 +532,14 @@ def verify_index(spark: SparkSession, index_dir: str) -> List[dict]:
     import hashlib
     from urllib.parse import unquote
 
-    # manifest `file` paths are raw filesystem paths (_norm_file decodes the
-    # input_file_name URI escapes at build time); unquote() is a no-op for
-    # them but repairs manifests written before that fix (space → %20)
+    # manifest `file` paths are raw filesystem paths recorded at BUILD time
+    # (_norm_file decodes the input_file_name URI escapes; unquote repairs
+    # pre-fix manifests). An index directory may have been RENAMED or moved
+    # since — compaction swaps `<dir>.compacting` into place, operators
+    # rsync indexes between hosts — so comparison is by the path's
+    # stage-relative BASENAME (every manifest entry lives flat under
+    # postings/), while hashing uses the CURRENT on-disk location.
+    postings_dir = _stage_dir(index_dir, "postings")
     manifest = {}
     for r in (
         spark.read.parquet(_stage_dir(index_dir, "manifest"))
@@ -542,13 +547,13 @@ def verify_index(spark: SparkSession, index_dir: str) -> List[dict]:
         .collect()
     ):
         f = r["file"]
-        manifest[f if os.path.exists(f) else unquote(f)] = r["file_sha256"]
-    current = sorted(
-        os.path.abspath(p)
-        for p in glob.glob(
-            os.path.join(_stage_dir(index_dir, "postings"), "*.parquet")
-        )
-    )
+        if not os.path.exists(f):
+            f = unquote(f)
+        manifest[os.path.basename(f)] = r["file_sha256"]
+    current = {
+        os.path.basename(p): os.path.abspath(p)
+        for p in glob.glob(os.path.join(postings_dir, "*.parquet"))
+    }
     all_files = sorted(set(manifest) | set(current))
     if not all_files:
         return []
@@ -564,22 +569,29 @@ def verify_index(spark: SparkSession, index_dir: str) -> List[dict]:
                     shas.append(None)
             yield pd.DataFrame({"file": b["file"], "actual_sha": shas})
 
-    actual = {
-        r["file"]: r["actual_sha"]
-        for r in spark.createDataFrame(pd.DataFrame({"file": all_files}))
-        .repartition(min(len(all_files), 32))
-        .mapInPandas(sha_batch, "file string, actual_sha string")
-        .collect()
-    }
+    # hash every file that exists at its CURRENT location; names only in
+    # the manifest hash nothing (missing)
+    paths = [current[f] for f in all_files if f in current]
+    actual_by_path = {}
+    if paths:
+        actual_by_path = {
+            r["file"]: r["actual_sha"]
+            for r in spark.createDataFrame(pd.DataFrame({"file": paths}))
+            .repartition(min(len(paths), 32))
+            .mapInPandas(sha_batch, "file string, actual_sha string")
+            .collect()
+        }
     problems = []
     for f in all_files:
-        expected, got = manifest.get(f), actual.get(f)
+        expected = manifest.get(f)
+        got = actual_by_path.get(current.get(f))
+        path = current.get(f, os.path.join(postings_dir, f))
         if expected is None:
-            problems.append(dict(file=f, problem="not_in_manifest"))
+            problems.append(dict(file=path, problem="not_in_manifest"))
         elif got is None:
-            problems.append(dict(file=f, problem="missing"))
+            problems.append(dict(file=path, problem="missing"))
         elif expected != got:
-            problems.append(dict(file=f, problem="corrupted"))
+            problems.append(dict(file=path, problem="corrupted"))
     return problems
 
 

@@ -195,6 +195,72 @@ def apply_incremental(
     )
 
 
+def compact(
+    spark: SparkSession,
+    index_dir: str,
+    source: DataFrame = None,
+    **build_opts,
+) -> dict:
+    """Merge base + delta segments + tombstones into ONE fresh segment —
+    the operational analog of the reference's tiered segment merge /
+    rebuild compaction (docs/PROJECT_SPEC.md:384-398): after many
+    incremental updates or streaming micro-batches, queries union N
+    segments and filter tombstones; compaction restores the single-segment
+    fast path and reclaims dead postings.
+
+    Content comes from the stored docs snapshots (``store_content=True``
+    builds) or from ``source`` (the current upstream table) for
+    content-less indexes. Existing doc_ids are KEPT (precomputed), so
+    result doc ids are stable across compaction. The swap is
+    directory-atomic: build into ``<index_dir>.compacting``, then rename.
+    """
+    import shutil
+
+    from .build import build_index
+
+    live = _all_docs(spark, index_dir)
+    stats = spark.read.parquet(os.path.join(index_dir, "stats")).first()
+    if "content" in live.columns:
+        src = live.select(
+            "doc_id", *DOC_KEY, "lang", "content",
+            *(["mtime"] if "mtime" in live.columns else []),
+        )
+    elif source is not None:
+        src = source.join(
+            live.select("doc_id", *DOC_KEY), DOC_KEY, "inner"
+        )
+    else:
+        raise ValueError(
+            "compact: index was built without store_content — pass the "
+            "upstream source DataFrame"
+        )
+    n_live = src.count()
+    n_segments = len(_segments(index_dir))
+    tmp = index_dir.rstrip("/") + ".compacting"
+    shutil.rmtree(tmp, ignore_errors=True)
+    opts = dict(
+        precomputed_doc_id=True,
+        n_buckets=int(stats["n_buckets"]),
+        enable_stopwords=bool(stats["enable_stopwords"]),
+        with_positions=bool(stats["with_positions"]),
+        store_content="content" in live.columns,
+        resume=False,
+    )
+    opts.update(build_opts)
+    # build_index's first stage snapshots src into tmp/docs; every later
+    # stage reads that snapshot, so nothing references the old directories
+    # once the build returns and the swap below is safe
+    build_index(spark, src, tmp, **opts)
+    old = index_dir.rstrip("/") + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(index_dir, old)
+    os.rename(tmp, index_dir)
+    shutil.rmtree(old, ignore_errors=True)
+    return dict(
+        live_docs=int(n_live), segments_merged=n_segments, compacted=True
+    )
+
+
 def delete_docs(
     spark: SparkSession, index_dir: str, doc_ids: Sequence[int]
 ) -> int:

@@ -89,6 +89,11 @@ def main() -> int:
     s.add_argument("--source", required=True)
     s.add_argument("--index", required=True)
 
+    s = sub.add_parser("compact")  # merge base+deltas+tombstones → 1 segment
+    s.add_argument("--index", required=True)
+    s.add_argument("--source", default=None,
+                   help="upstream parquet (only needed for content-less indexes)")
+
     s = sub.add_parser("stream")  # Structured Streaming ingest (file source)
     s.add_argument("--source", required=True, help="parquet dir watched as a stream")
     s.add_argument("--index", required=True)
@@ -171,6 +176,11 @@ def main() -> int:
                 spark, args.index, load_source(spark, args.source)
             )
             print(json.dumps(res))
+        elif args.cmd == "compact":
+            from lse.maintenance import compact
+
+            src = load_source(spark, args.source) if args.source else None
+            print(json.dumps(compact(spark, args.index, source=src)))
         elif args.cmd == "stream":
             from lse.streaming import stream_index
 

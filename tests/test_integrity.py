@@ -35,3 +35,28 @@ def test_manifest_sha_detects_corruption(spark, tmp_path):
     os.remove(victim)
     problems = verify_index(spark, d)
     assert {p["problem"] for p in problems} == {"missing"}
+
+
+def test_verify_survives_index_rename(spark, tmp_path):
+    """Manifests record build-time paths; a moved/renamed index (compaction
+    swap, operator rsync) must still verify clean — comparison is by
+    stage-relative name, hashing at the current location."""
+    import os
+
+    from lse.build import build_index, verify_index
+    from lse.fixtures import make_repos_df
+
+    a = str(tmp_path / "idx_a")
+    build_index(spark, make_repos_df(spark, 30, partitions=2), a,
+                n_buckets=2, index_partitions=2)
+    b = str(tmp_path / "idx_moved")
+    os.rename(a, b)
+    assert verify_index(spark, b) == []
+    # corruption is still detected at the new location
+    import glob
+
+    victim = sorted(glob.glob(os.path.join(b, "postings", "*.parquet")))[0]
+    raw = open(victim, "rb").read()
+    open(victim, "wb").write(raw[:-4] + b"XXXX")
+    problems = verify_index(spark, b)
+    assert [p["problem"] for p in problems] == ["corrupted"]

@@ -158,3 +158,56 @@ def test_apply_incremental_matches_oracle(spark, built):
     assert got_total == want_total
     for (gd, gs), (_, ws) in zip(got, want):
         assert gs == pytest.approx(ws, abs=1e-9)
+
+
+def test_compact_merges_segments_and_preserves_results(spark, tmp_path):
+    """After incremental updates + deletes, compact() must collapse to ONE
+    segment with identical query results (same doc ids, scores at 1e-9,
+    totals) and no tombstones/deltas left."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from lse.build import build_index
+    from lse.engine import SearchEngine
+    from lse.fixtures import make_repos_df
+    from lse.maintenance import compact
+    from lse.streaming import upsert_batch
+
+    d = str(tmp_path / "idx")
+    base = make_repos_df(spark, n_docs=80, partitions=2).select(
+        "repo", "path", "commit", "lang", "content"
+    )
+    build_index(spark, base, d, n_buckets=2, index_partitions=2)
+    # two upsert generations: one update, one add
+    one = base.orderBy("repo", "path", "commit").limit(1)
+    upsert_batch(spark, d, one.withColumn(
+        "content", F.concat(F.col("content"), F.lit(" compactprobe"))))
+    upsert_batch(spark, d, spark.createDataFrame(
+        [("rz", "new.py", "c", "py", "freshly added compactprobe doc")],
+        "repo string, path string, commit string, lang string, content string",
+    ))
+
+    before_eng = SearchEngine(spark, d)
+    queries = ["java", "compactprobe", "java AND programming", "-java",
+               '"machine learning"']
+    before = {q: before_eng.search_result(q, 50) for q in queries}
+    assert before_eng.multi_segment and before_eng.tomb_ids.size > 0
+
+    res = compact(spark, d)
+    assert res["compacted"] and res["segments_merged"] == 3
+    eng = SearchEngine(spark, d)
+    assert not eng.multi_segment
+    assert eng.tomb_ids.size == 0
+    assert not os.path.exists(os.path.join(d, "deltas"))
+    for q in queries:
+        hits, total = eng.search_result(q, 50)
+        bh, bt = before[q]
+        assert total == bt, q
+        assert [x[0] for x in hits] == [x[0] for x in bh], q
+        for (_, sa), (_, sb) in zip(hits, bh):
+            assert sa == pytest.approx(sb, abs=1e-9)
+    # integrity of the fresh segment
+    from lse.build import verify_index
+
+    assert verify_index(spark, d) == []
