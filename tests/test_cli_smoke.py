@@ -85,3 +85,29 @@ def test_cli_stream_ingest(spark, tmp_path, capsys, monkeypatch):
 
     hits, total = SearchEngine(spark, idx).search_result("java", 10)
     assert total > 0
+
+
+def test_cli_compact(spark, tmp_path, capsys, monkeypatch):
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    from lse.build import build_index
+    from lse.fixtures import make_repos_df
+    from lse.streaming import upsert_batch
+
+    idx = str(tmp_path / "idx")
+    base = make_repos_df(spark, n_docs=30, partitions=1).select(
+        "repo", "path", "commit", "lang", "content"
+    )
+    build_index(spark, base, idx, n_buckets=2, index_partitions=2)
+    upsert_batch(spark, idx, spark.createDataFrame(
+        [("r", "x.py", "c", "py", "cli compact smoke doc")],
+        "repo string, path string, commit string, lang string, content string"))
+    rc, out = _run_cli(["compact", "--index", idx], capsys)
+    assert rc in (0, None)
+    doc = json.loads(out.strip().splitlines()[-1])
+    assert doc["compacted"] and doc["segments_merged"] == 2
+    from lse.engine import SearchEngine
+
+    eng = SearchEngine(spark, idx)
+    assert not eng.multi_segment
+    _h, total = eng.search_result("smoke", 5)
+    assert total == 1
