@@ -407,16 +407,25 @@ def build_index(
         # with an unfloored 0<avgdl<1 would understate the bound and let WAND
         # prune blocks containing true top-k docs
         score_avgdl = max(float(stats["avgdl"]), 1.0)
-        # global df joins into the THIN (doc,term) frame BEFORE encoding:
-        # the join's term-hash shuffle already satisfies the (term,bucket)
-        # clustered distribution the encode groupBy needs, so this costs no
-        # extra exchange — and the alternative (joining df onto the encoded
-        # output) would shuffle every multi-KB blob by term, or force a
-        # driver-sized broadcast of a 10^8-term vocabulary at full scale.
+        # global df joins into the THIN (doc,term) frame BEFORE encoding —
+        # the alternative (joining df onto the encoded output) would
+        # shuffle every multi-KB blob by term, or force a driver-sized
+        # broadcast of a 10^8-term vocabulary at full scale. The explicit
+        # repartition(term, bucket) between the join and the groupBy is the
+        # skew guard: when the vocabulary is too large to broadcast the
+        # join becomes a sort-merge exchange on hash(term), which WOULD
+        # satisfy the groupBy's clustered(term,bucket) requirement as-is —
+        # collapsing every bucket of a hot/stopword term (df→N) into one
+        # task and reintroducing the single-task hot-posting bottleneck the
+        # doc-range bucketing exists to prevent. Forcing hash(term,bucket)
+        # costs one extra exchange ONLY in that SMJ regime (in the
+        # broadcast regime it simply replaces the exchange the groupBy
+        # would have inserted) and keeps hot terms split across buckets.
         df_global = term_doc.groupBy("term").agg(F.count("*").alias("df"))
         enc = (
             term_doc.select("term", "bucket", "doc_id", "tf", "dl", "positions")
             .join(df_global, "term")
+            .repartition("term", "bucket")
             .groupBy("term", "bucket")
             .applyInPandas(
                 _encode_groups(score_avgdl, with_positions), POSTINGS_SCHEMA

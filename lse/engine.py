@@ -118,6 +118,13 @@ class SearchEngine:
     def __init__(self, spark: SparkSession, index_dir: str):
         self.spark = spark
         self.index_dir = index_dir
+        if not os.path.isdir(index_dir):
+            # a crash between compact's two swap renames leaves the intact
+            # pre-compaction index at <index_dir>.old — roll it back
+            # (maintenance.recover_index_dir documents the protocol)
+            from .maintenance import recover_index_dir
+
+            recover_index_dir(index_dir)
         # segments: the base index + any incremental delta segments
         # (maintenance.apply_incremental); a doc lives in exactly one segment
         segments = [index_dir]
@@ -534,7 +541,7 @@ class SearchEngine:
             if served is None:
                 raise ValueError("query is not bucket-servable")
             return served
-        if mode != "spark" and self.local.can_execute(result.ast):
+        if mode != "spark" and self.local.can_execute(result.ast, result.sort):
             return self.local.execute(query, limit)
         if mode != "spark" and result.sort is None:
             served = self._serve_buckets(result.ast, limit)
@@ -1143,7 +1150,7 @@ class SearchEngine:
             terms is not None and bool(terms) and result.sort is None
             and not self.tomb_ids.size and not self.multi_segment
         )
-        if strategy == "auto" and self.local.can_execute(result.ast):
+        if strategy == "auto" and self.local.can_execute(result.ast, result.sort):
             # the local numpy tier is fastest whenever its byte budgets
             # admit the query — same routing search_result applies
             return self.local.execute(query, limit)[0]

@@ -664,14 +664,23 @@ class LocalExecutor:
                 phrase_terms.update((t or "").lower() for t in n.terms)
         return terms, prefixes, phrase_terms
 
-    def can_execute(self, ast: Node) -> bool:
+    def can_execute(self, ast: Node, sort=None) -> bool:
         """Route to this tier only when the query's driver-side collect is
         bounded: metadata volume under ``meta_limit`` AND the postings /
         position payload bytes of its terms (from the in-memory dictionary)
         under the byte budgets. A hot-df term or fat phrase routes to the
         distributed tiers no matter how big the corpus grows — the old
-        N-only gate let a df→N term collect unboundedly."""
-        if self._needs_meta(ast) and self.engine.N > self.meta_limit:
+        N-only gate let a df→N term collect unboundedly.
+
+        ``sort`` is the parsed sort directive (querydsl.Sort or None):
+        serving ``sort:mtime`` / ``sort:size`` materializes the full doc
+        metadata frame (meta() = N-row toPandas), so a metadata-backed sort
+        must pass the same meta_limit gate as AST metadata nodes — the AST
+        alone never reveals it."""
+        needs_meta = self._needs_meta(ast) or (
+            sort is not None and getattr(sort, "field", None) in ("mtime", "size")
+        )
+        if needs_meta and self.engine.N > self.meta_limit:
             return False
         terms, prefixes, phrase_terms = self._query_shape(ast)
         post_terms = {t for t in (terms | phrase_terms) if t.strip()}

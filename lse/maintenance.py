@@ -195,6 +195,34 @@ def apply_incremental(
     )
 
 
+def recover_index_dir(index_dir: str) -> str:
+    """Roll back a compaction swap interrupted between its two renames.
+
+    States and actions (see :func:`compact` swap protocol):
+    * ``index_dir`` present            → healthy; drop any stale ``.old`` /
+      ``.compacting`` leftovers (a completed swap's cleanup, or an
+      abandoned build) and return "ok".
+    * ``index_dir`` missing, ``.old`` present → crashed mid-swap; restore
+      ``.old`` → ``index_dir`` (the complete pre-compaction index) and
+      return "restored_old".
+    * neither present → nothing to recover ("missing").
+    """
+    import shutil
+
+    base = index_dir.rstrip("/")
+    old = base + ".old"
+    tmp = base + ".compacting"
+    if os.path.isdir(base):
+        shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
+        return "ok"
+    if os.path.isdir(old):
+        os.rename(old, base)
+        shutil.rmtree(tmp, ignore_errors=True)
+        return "restored_old"
+    return "missing"
+
+
 def compact(
     spark: SparkSession,
     index_dir: str,
@@ -211,13 +239,25 @@ def compact(
     Content comes from the stored docs snapshots (``store_content=True``
     builds) or from ``source`` (the current upstream table) for
     content-less indexes. Existing doc_ids are KEPT (precomputed), so
-    result doc ids are stable across compaction. The swap is
-    directory-atomic: build into ``<index_dir>.compacting``, then rename.
+    result doc ids are stable across compaction.
+
+    Swap protocol (crash-safe, NOT single-syscall atomic): build into
+    ``<index_dir>.compacting``, then rename ``index_dir`` → ``.old``, then
+    ``.compacting`` → ``index_dir``, then delete ``.old``. A crash between
+    the two renames leaves ``.old`` holding the complete pre-compaction
+    index with ``index_dir`` absent; :func:`recover_index_dir` (called on
+    compact entry and on SearchEngine load) rolls that window back, so no
+    crash point loses the index. Readers that opened the old snapshot
+    before the swap keep serving it coherently (parquet files are
+    immutable); a reader racing the rename window itself must retry via
+    recover — the analog of the reference's segments.gen re-read
+    (docs/PROJECT_SPEC.md:236-239).
     """
     import shutil
 
     from .build import build_index
 
+    recover_index_dir(index_dir)
     live = _all_docs(spark, index_dir)
     stats = spark.read.parquet(os.path.join(index_dir, "stats")).first()
     if "content" in live.columns:

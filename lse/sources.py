@@ -58,7 +58,10 @@ def read_file_tree(
         "^" + re.escape(root + "/"),
         "",
     )
-    ext = F.lower(F.element_at(F.split(rel, r"\."), -1))
+    # extension from the BASENAME only: a dot in a directory name must not
+    # leak into it ('v1.2/README' has no extension), so match a final
+    # dot-delimited run containing neither '/' nor '.'
+    ext = F.lower(F.regexp_extract(rel, r"\.([^/.]+)$", 1))
     df = df.filter(F.col("length") <= max_bytes)
     if text_only:
         # NUL byte in the first 8 KB => almost certainly binary -- skip,
@@ -72,7 +75,7 @@ def read_file_tree(
         F.lit(repo_name).alias("repo"),
         rel.alias("path"),
         F.lit(commit).alias("commit"),
-        F.when(rel.contains("."), ext).otherwise(F.lit("")).alias("lang"),
+        ext.alias("lang"),  # "" when the basename has no extension
         F.decode(F.col("content"), "UTF-8").alias("content"),
         F.col("modificationTime").alias("mtime"),
     )

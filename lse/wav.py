@@ -43,6 +43,10 @@ def decode_wav(data: bytes) -> Tuple[np.ndarray, int]:
     audio_fmt, channels, rate, _byte_rate, _block_align, bits = fmt
     if channels < 1:
         raise ValueError("wav: zero channels")
+    if rate <= 0:
+        # a malformed fmt chunk must be a per-row loud skip (ValueError →
+        # quarantine), not a ZeroDivisionError that kills the Spark task
+        raise ValueError("wav: non-positive sample rate")
     if audio_fmt == 1:  # integer PCM
         if bits == 8:
             samples = (
@@ -83,5 +87,7 @@ def probe_wav(data: bytes) -> Tuple[int, int, int]:
         pos += 8 + size + (size & 1)
     if rate is None:
         raise ValueError("wav: missing fmt chunk")
+    if rate <= 0 or channels < 1:
+        raise ValueError("wav: malformed fmt chunk (rate/channels)")
     frames = data_size // max(1, channels * (bits // 8))
     return int(rate), int(channels), int(frames)
