@@ -420,7 +420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pairs = embedding_near_dups(u, threshold=0.999, planes=8)
         return pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
-    def q_image_features(spark, sf):  # rows-only: fake decode is blake2b-seeded
+    def q_image_features(spark, sf):  # golden-fixture oracle (oracle_ops)
         from lse.multimodal import image_features
 
         d = spark.read.parquet(os.path.join(sf, "documents.parquet")).select(
@@ -429,7 +429,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         feats = image_features(d, backend="fake")
         return feats.select(
-            "id", "width", "height", F.size("feature").alias("feature_dim")
+            "id",
+            F.col("width").cast("long").alias("width"),
+            F.col("height").cast("long").alias("height"),
+            F.size("feature").cast("long").alias("feature_dim"),
         )
 
     # ---- training-pipeline operators (lse.dedup / textops / similarity) ----
@@ -464,7 +467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("bpe_tokens_est").cast("long").alias("bpe_tokens_est"),
         )
 
-    def q_minhash_pairs(spark, sf):  # rows-only: LSH internals not SQL-expressible
+    def q_minhash_pairs(spark, sf):  # golden-fixture oracle (oracle_ops)
         from lse.dedup import minhash_candidate_pairs, minhash_signatures
 
         d = spark.read.parquet(os.path.join(sf, "documents.parquet")).select(
@@ -475,7 +478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard")
         )
 
-    def q_simhash(spark, sf):  # rows-only: blake2b term hashing not in DuckDB
+    def q_simhash(spark, sf):  # golden-fixture oracle (oracle_ops)
         from lse.dedup import simhash64
 
         d = spark.read.parquet(os.path.join(sf, "documents.parquet")).select(
@@ -483,15 +486,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return simhash64(d)
 
-    def q_fingerprints(spark, sf):  # rows-only: winnowing not SQL-expressible
+    def q_fingerprints(spark, sf):  # golden-fixture oracle (oracle_ops)
         from lse.textops import fingerprints
 
         d = spark.read.parquet(os.path.join(sf, "documents.parquet")).select(
             "doc_id", F.col("text").alias("content")
         )
-        return fingerprints(d).select("doc_id", F.size("fingerprints").alias("n_fp"))
+        return fingerprints(d).select(
+            "doc_id", F.size("fingerprints").cast("long").alias("n_fp")
+        )
 
-    def q_ann_lsh(spark, sf):  # rows-only: numpy hyperplanes not in SQL
+    def q_ann_lsh(spark, sf):  # golden-fixture oracle (oracle_ops)
         from lse.similarity import cosine_topk_lsh, hyperplane_signature
 
         e = spark.read.parquet(os.path.join(sf, "embeddings.parquet"))
@@ -516,7 +521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             eng.compile(querydsl.parse("spark").ast).select("score")
         )
 
-    def q_audio_features(spark, sf):  # rows-only: deterministic fake decode
+    def q_audio_features(spark, sf):  # golden-fixture oracle (oracle_ops)
         from lse.multimodal import audio_features
 
         d = spark.read.parquet(os.path.join(sf, "documents.parquet")).select(
@@ -527,7 +532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "id", "n_frames", "duration_ms", F.round("rms", 6).alias("rms")
         )
 
-    def q_ann_ivf(spark, sf):  # rows-only: k-means quantizer not in SQL
+    def q_ann_ivf(spark, sf):  # golden-fixture oracle (oracle_ops)
         from lse.similarity import (
             cosine_topk_ivf, ivf_assign, train_ivf_centroids,
         )
@@ -621,8 +626,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+_GOLDEN_DIR = "/root/repo/goldens/sf0.01"
+
+
+def _golden_sql(name: str, cols: str) -> str:
+    """DuckDB SQL for a golden-fixture oracle: the expected output was
+    precomputed by the INDEPENDENT driver-side replica (lse/oracle_ops.py
+    — window-product hashing vs the telescoped kernel, dict banding vs the
+    xxhash64 join, scalar vs batch tokenizer, driver-side numpy ANN vs the
+    JVM fold) and persisted by scripts/make_goldens.py; the driver's
+    value-hash compare binds the Spark kernels to it.
+    tests/test_golden_oracles.py re-derives the goldens each run and fails
+    on staleness, so a testdata regeneration cannot silently pass."""
+    return f"SELECT {cols} FROM read_parquet('{_GOLDEN_DIR}/{name}.parquet')"
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "minhash_pairs": _golden_sql("minhash_pairs", "doc_a, doc_b, est_jaccard"),
+        "simhash": _golden_sql("simhash", "doc_id, simhash"),
+        "fingerprints": _golden_sql("fingerprints", "doc_id, n_fp"),
+        "image_features": _golden_sql(
+            "image_features", "id, width, height, feature_dim"
+        ),
+        "audio_features": _golden_sql(
+            "audio_features", "id, n_frames, duration_ms, rms"
+        ),
+        "ann_lsh_topk": _golden_sql("ann_lsh_topk", "vec_id, cos"),
+        "ann_ivf_topk": _golden_sql("ann_ivf_topk", "vec_id, cos"),
         "tokenize_tf": _TOK_CTE + "SELECT doc_id, term, tf FROM tf",
         "term_df": _TOK_CTE + "SELECT term, df FROM dfreq",
         "corpus_stats": _TOK_CTE
