@@ -190,6 +190,9 @@ class LocalExecutor:
         self._postings_cache = _ByteLRU(cache_byte_budget)
         self._prefix_cache: Dict[str, List[str]] = {}
         self._positions_cache = _ByteLRU(cache_byte_budget // 2)
+        # raw phrase-match doc sets, keyed to the position-decode
+        # identities (phrase serving's warm path)
+        self._phrase_cache = _ByteLRU(cache_byte_budget // 8)
         # per-term idf·raw score arrays (N/avgdl are fixed per engine, so
         # these never go stale) — repeat term queries skip BM25 entirely
         self._scores_cache = _ByteLRU(cache_byte_budget // 2)
@@ -378,6 +381,20 @@ class LocalExecutor:
                         else:
                             missing.append(t)
         missing = sorted(set(missing))
+        # dictionary-resolved absences never touch Spark: a term with zero
+        # payload bytes is not in the vocabulary — negative-cache it in the
+        # LRU too, so REPEATS of unknown-term queries cost no job either
+        if missing and self._load_dictionary():
+            neg = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64),
+                   np.empty(0, dtype=np.int64), 0)
+            still = []
+            for t in missing:
+                if self._term_bytes(self._dict_terms, self._dict_bytes, t) == 0:
+                    self._query_postings[t] = neg
+                    self._postings_cache.put(t, neg)
+                else:
+                    still.append(t)
+            missing = still
         conds = []
         if missing:
             conds.append(F.col("term").isin(missing))
@@ -425,6 +442,7 @@ class LocalExecutor:
         for t in missing:
             if t not in self._query_postings:
                 self._query_postings[t] = neg
+                self._postings_cache.put(t, neg)
         # prefixes: remember the expansion term lists (per query and cached)
         for p in new_prefixes:
             expansion = sorted(t for t in by_term if t.startswith(p))
@@ -595,18 +613,40 @@ class LocalExecutor:
         # vectorized adjacency over the position index (QueryEngine.java:
         # 309-341 semantics, shared with the distributed kernel); positions
         # are not tombstone-filtered, so restrict to the LIVE candidate set
-        # (the first term's live postings — same seed as the reference)
-        marr = match_phrase(norm, positions)
-        marr = np.intersect1d(marr, first.ids, assume_unique=True)
+        # (the first term's live postings — same seed as the reference).
+        # The raw match set is LRU-cached keyed to the per-term decode
+        # IDENTITIES (same invalidation rule as the scores/ranks caches):
+        # adjacency depends only on the position arrays, so a warm repeat
+        # skips the kernel entirely; tombstone/live filtering stays outside
+        # the cached value and is applied fresh below.
+        key = " ".join(norm)  # terms never contain whitespace
+        tps = [positions.get(t) for t in sorted(set(norm))]
+        hit = self._phrase_cache.get(key)
+        if hit is not None and len(hit[0]) == len(tps) and all(
+            a is b for a, b in zip(hit[0], tps)
+        ):
+            marr = hit[1]
+        else:
+            marr = match_phrase(norm, positions)
+            # the list holds the TermPositions refs for identity validation
+            # without their bytes charging this cache's budget (they are
+            # owned by _positions_cache)
+            self._phrase_cache.put(key, (tps, marr))
+        marr = marr[member_mask(marr, first.ids)]
         if marr.size == 0:
             return _ScoreSet.empty()
         total = np.zeros(marr.size)
         for t in norm:  # per-occurrence sum, duplicates add twice
             ss = scored[t]
-            common, im, isrc = np.intersect1d(
-                marr, ss.ids, assume_unique=True, return_indices=True
-            )
-            total[im] += ss.scores[isrc]
+            if ss.ids.size == 0:
+                continue
+            # marr is small post-match: binary-search it into each term's
+            # (possibly df→N sized) id array instead of intersect1d's
+            # concat-and-sort of the full postings
+            idx = np.searchsorted(ss.ids, marr)
+            np.minimum(idx, max(ss.ids.size - 1, 0), out=idx)
+            m = ss.ids[idx] == marr
+            total[m] += ss.scores[idx[m]]
         return _ScoreSet(marr, total)
 
     def _eval_field(self, node: Field) -> _ScoreSet:

@@ -114,11 +114,20 @@ def match_phrase(
         small, big = (a, b) if a.size <= b.size else (b, a)
         return small[member_mask(small, big)]
 
-    running = packed_keys(terms[0], 0)
-    for i, t in enumerate(terms[1:], start=1):
+    # slots are intersected RAREST-FIRST (by total position count — the
+    # reference seeds from its first term's postings, we seed from the
+    # cheapest): the running key set shrinks to near the final match count
+    # after one step, so every later intersection binary-searches a small
+    # needle array into the big term instead of materializing large
+    # intermediates. Set-intersection is commutative — result identical.
+    slot_order = sorted(
+        range(n_terms), key=lambda i: per_term[terms[i]][2].size
+    )
+    running = packed_keys(terms[slot_order[0]], slot_order[0])
+    for i in slot_order[1:]:
         if running.size == 0:
             return _EMPTY
-        running = _intersect_sorted(running, packed_keys(t, i))
+        running = _intersect_sorted(running, packed_keys(terms[i], i))
     if running.size == 0:
         return _EMPTY
     docs = running >> np.int64(32)
