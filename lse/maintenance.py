@@ -25,6 +25,8 @@ from pyspark.sql import functions as F
 
 DOC_KEY = ["repo", "path", "commit"]
 
+MERGE_FACTOR = 10  # reference tiered-merge trigger (config/Constants.java:30-31)
+
 
 def _segments(index_dir: str):
     segs = [index_dir]
@@ -123,7 +125,11 @@ def incremental_diff(
 
 
 def apply_incremental(
-    spark: SparkSession, index_dir: str, new_source: DataFrame, **build_opts
+    spark: SparkSession,
+    index_dir: str,
+    new_source: DataFrame,
+    auto_compact_segments: int = MERGE_FACTOR,
+    **build_opts,
 ) -> dict:
     """Incremental reindex (reference semantics: UPDATE = delete + re-add,
     docs/IMPLEMENTATION_PROMPT.md:251-256):
@@ -134,7 +140,10 @@ def apply_incremental(
        generation-salted hashes so they can never collide with live base
        ids) under ``index_dir/deltas/delta_<gen>``;
     4. SearchEngine unions base + delta segments at load and recomputes live
-       N/avgdl/df — queries then see exactly the new logical corpus.
+       N/avgdl/df — queries then see exactly the new logical corpus;
+    5. when the segment count reaches ``auto_compact_segments`` (reference
+       MERGE_FACTOR), :func:`maybe_compact` merges everything back to one
+       segment (pass ``None``/0 to disable).
     """
     from .build import build_index
 
@@ -187,11 +196,17 @@ def apply_incremental(
         opts.update(build_opts)
         build_index(spark, fresh, delta_dir, **opts)
     ops = {r["op"]: r["n"] for r in diff.groupBy("op").agg(F.count("*").alias("n")).collect()}
+    comp = maybe_compact(
+        spark, index_dir, source=new_source,
+        max_segments=auto_compact_segments, **build_opts,
+    )
     return dict(
         tombstoned=n_tombstoned,
         delta_docs=int(n_fresh),
         delta_dir=delta_dir,
         ops=ops,
+        compacted=bool(comp.get("compacted")),
+        segments=int(comp.get("segments", 0)),
     )
 
 
@@ -299,6 +314,37 @@ def compact(
     return dict(
         live_docs=int(n_live), segments_merged=n_segments, compacted=True
     )
+
+
+def maybe_compact(
+    spark: SparkSession,
+    index_dir: str,
+    source: DataFrame = None,
+    max_segments: int = MERGE_FACTOR,
+    **build_opts,
+) -> dict:
+    """Auto-compaction trigger — the operational analog of the reference's
+    tiered merge policy (MERGE_FACTOR=10 same-level segments → merge,
+    config/Constants.java:30-31; docs/PROJECT_SPEC.md:384-398): when the
+    segment count (base + deltas) reaches ``max_segments``, run
+    :func:`compact`; otherwise no-op. Called automatically by
+    ``apply_incremental`` and ``streaming.upsert_batch`` so a long-running
+    streaming index never accretes unbounded delta segments (and the
+    per-query multi-segment overhead they carry) waiting for an operator.
+
+    Content-less indexes (built with ``store_content=False``) need the
+    upstream ``source`` to rebuild; when neither is available the trigger
+    declines with ``reason='no_content'`` rather than failing the ingest.
+    """
+    n_segments = len(_segments(index_dir))
+    if max_segments is None or max_segments <= 0 or n_segments < max_segments:
+        return dict(compacted=False, segments=n_segments, reason="below_threshold")
+    docs_cols = spark.read.parquet(os.path.join(index_dir, "docs")).columns
+    if "content" not in docs_cols and source is None:
+        return dict(compacted=False, segments=n_segments, reason="no_content")
+    res = compact(spark, index_dir, source=source, **build_opts)
+    res.update(segments=n_segments)
+    return res
 
 
 def delete_docs(

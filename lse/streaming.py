@@ -36,7 +36,11 @@ from .maintenance import DOC_KEY, _all_docs, delete_docs
 
 
 def upsert_batch(
-    spark: SparkSession, index_dir: str, batch: DataFrame, **build_opts
+    spark: SparkSession,
+    index_dir: str,
+    batch: DataFrame,
+    auto_compact_segments: int = None,
+    **build_opts,
 ) -> dict:
     """Apply one micro-batch as an upsert increment.
 
@@ -46,11 +50,22 @@ def upsert_batch(
     * unchanged rows (same content sha as live) are skipped — replay-safe;
     * changed keys tombstone their old doc ids;
     * new + changed rows build delta segment ``deltas/delta_<gen>`` with
-      generation-salted hash ids (collision-free vs live ids).
+      generation-salted hash ids (collision-free vs live ids);
+    * when the segment count reaches ``auto_compact_segments``
+      (default: maintenance.MERGE_FACTOR, the reference's tiered-merge
+      trigger), everything merges back to one segment — a long-running
+      stream stays fast without operator intervention. Compaction keeps
+      doc ids, so replay idempotence (sha skip) is unaffected. Pass 0 to
+      disable.
 
-    Returns dict(tombstoned=…, delta_docs=…, delta_dir=…, skipped=…).
+    Returns dict(tombstoned=…, delta_docs=…, delta_dir=…, skipped=…,
+    compacted=…).
     """
     from .build import build_index
+    from .maintenance import MERGE_FACTOR, maybe_compact
+
+    if auto_compact_segments is None:
+        auto_compact_segments = MERGE_FACTOR
 
     if "doc_id" in batch.columns:
         # ids are assigned by the index (base hash / generation-salted
@@ -112,11 +127,16 @@ def upsert_batch(
         )
         opts.update(build_opts)
         build_index(spark, fresh, delta_dir, **opts)
+    comp = maybe_compact(
+        spark, index_dir, max_segments=auto_compact_segments, **build_opts
+    )
     return dict(
         tombstoned=n_tomb,
         delta_docs=int(n_fresh),
         delta_dir=delta_dir,
         skipped=int(n_skipped),
+        compacted=bool(comp.get("compacted")),
+        segments=int(comp.get("segments", 0)),
     )
 
 

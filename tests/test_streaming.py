@@ -135,3 +135,49 @@ def test_upsert_dedupes_batch_keys(spark, tmp_path):
     eng = SearchEngine(spark, index_dir)
     _h, total = eng.search_result("duplicatekey", 5)
     assert total == 1
+
+
+def test_auto_compaction_trigger(spark, tmp_path):
+    """Reference tiered-merge policy (MERGE_FACTOR=10 segments -> merge,
+    config/Constants.java:30-31): driving >10 micro-batches through
+    upsert_batch must fire exactly one auto-compaction at the threshold,
+    collapse the index back to one segment, and leave every query result
+    identical to a batch build over the same corpus."""
+    src = make_repos_df(spark, n_docs=130, partitions=2).select(
+        "repo", "path", "commit", "lang", "content"
+    )
+    rows = src.collect()
+    index_dir = str(tmp_path / "auto_idx")
+    build_index(
+        spark, spark.createDataFrame(rows[:10], SCHEMA), index_dir,
+        n_buckets=4, index_partitions=4,
+    )
+    compactions = []
+    seg_counts = []
+    from lse.maintenance import _segments
+
+    for i in range(10, 130, 10):  # 12 further micro-batches
+        batch = spark.createDataFrame(rows[i : i + 10], SCHEMA)
+        res = upsert_batch(
+            spark, index_dir, batch, n_buckets=4, index_partitions=4
+        )
+        if res["compacted"]:
+            compactions.append(res)
+        seg_counts.append(len(_segments(index_dir)))
+    assert len(compactions) == 1, seg_counts
+    # the merge fired exactly at the threshold and reset to one segment
+    assert max(seg_counts) <= 10
+    assert 1 in seg_counts
+    # parity: the streamed+compacted index equals a fresh batch build
+    batch_dir = str(tmp_path / "batch_idx")
+    build_index(spark, src, batch_dir, n_buckets=4, index_partitions=4)
+    _queries_equal(
+        spark, index_dir, batch_dir,
+        ["spark", "java OR python", '"distributed system"', "-spark"],
+    )
+    # replay idempotence survives compaction (doc ids are kept)
+    replay = upsert_batch(
+        spark, index_dir, spark.createDataFrame(rows[50:60], SCHEMA),
+        n_buckets=4, index_partitions=4,
+    )
+    assert replay["skipped"] == 10 and replay["delta_docs"] == 0
