@@ -548,6 +548,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "vec_id", F.round("cos", 4).alias("cos")
         )
 
+    def q_video_features(spark, sf):  # golden-fixture oracle (oracle_ops)
+        """Real Y4M decode end-to-end: deterministic synthetic frames
+        (pure function of doc_id — lse.oracle_ops.synthetic_video_frames)
+        are packed to YUV4MPEG2 bytes executor-side, then
+        multimodal.video_features decodes them back (lse.y4m) and computes
+        luma statistics. The golden oracle computes the same statistics
+        ANALYTICALLY from the frame spec, so the encode→decode round trip
+        is what the hash match certifies."""
+        import pandas as pd
+
+        from lse.multimodal import video_features
+
+        d = spark.read.parquet(os.path.join(sf, "documents.parquet")).select(
+            F.col("doc_id").alias("id")
+        )
+
+        def pack(batches):
+            from lse.oracle_ops import synthetic_video_frames
+            from lse.y4m import encode_y4m
+
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "id": pdf["id"],
+                        "payload": [
+                            encode_y4m(synthetic_video_frames(int(i)))
+                            for i in pdf["id"]
+                        ],
+                    }
+                )
+
+        vids = d.mapInPandas(pack, "id long, payload binary")
+        return video_features(vids, every_n=5, backend="real").select(
+            "id",
+            F.col("width").cast("long").alias("width"),
+            F.col("height").cast("long").alias("height"),
+            "fps",
+            F.col("n_frames").cast("long").alias("n_frames"),
+            F.col("sampled_frames").cast("long").alias("sampled_frames"),
+            F.round("y_mean", 6).alias("y_mean"),
+            F.round("y_std", 6).alias("y_std"),
+        )
+
     def q_snippet_lines(spark, sf):
         """Q13 line-number math (highlight/SnippetGenerator.java:159-166):
         first case-insensitive occurrence offset + 1-based line number via
@@ -623,6 +666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snippet_lines": q_snippet_lines,
         "stream_term_scores": q_stream_term_scores,
         "audio_features": q_audio_features,
+        "video_features": q_video_features,
     }
 
 
@@ -654,6 +698,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann_lsh_topk": _golden_sql("ann_lsh_topk", "vec_id, cos"),
         "ann_ivf_topk": _golden_sql("ann_ivf_topk", "vec_id, cos"),
+        "video_features": _golden_sql(
+            "video_features",
+            "id, width, height, fps, n_frames, sampled_frames, y_mean, y_std",
+        ),
         "tokenize_tf": _TOK_CTE + "SELECT doc_id, term, tf FROM tf",
         "term_df": _TOK_CTE + "SELECT term, df FROM dfreq",
         "corpus_stats": _TOK_CTE

@@ -1,13 +1,21 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary`` columns
 with typed metadata, processed through Arrow-batched ``mapInPandas``.
 
-IMAGE decode is REAL for PNG: ``backend='real'`` runs the pure-stdlib codec
-(lse.png — zlib inflate + numpy unfiltering; golden-pixel tested), no PIL
-needed. Audio/video probing still has no in-container decoder
-(ffmpeg/torchaudio absent): those keep the ``backend='fake'`` deterministic
-stand-in (a seeded hash of the payload bytes drives the "decoded" values)
-so the Spark-side contract — schemas, batch shapes, partition behavior, UDF
-signatures — stays real and fully tested; ``backend='real'`` raises there.
+All three modalities have REAL pure-stdlib decode lanes — no PIL, no
+torchaudio, no ffmpeg:
+
+* image: PNG via lse.png (zlib inflate + numpy unfiltering;
+  golden-pixel tested);
+* audio: RIFF/PCM WAV via lse.wav (struct header parse + numpy sample
+  view; golden tested vs stdlib wave);
+* video: YUV4MPEG2 via lse.y4m (header parse + FRAME walk + luma plane
+  views; golden-frame tested).
+
+Out-of-scope payloads (JPEG, MP3, MP4, …) raise ValueError — the loud-skip
+contract: a pipeline routes those rows to a quarantine sink, never silently
+fabricates media. ``backend='fake'`` keeps the deterministic seeded
+stand-ins used by the pipeline-contract tests and the driver's
+golden-fixture oracles.
 
 Schemas:
   image: (id long, payload binary, meta struct<width:int, height:int,
@@ -218,7 +226,12 @@ def image_resize_meta(df: DataFrame, max_side: int = 16, backend: str = "fake") 
 def video_frame_sample(
     df: DataFrame, every_n: int = 10, backend: str = "fake"
 ) -> DataFrame:
-    """(id, frame_idx) — frame sampling plan from (stub-)probed frame counts."""
+    """(id, frame_idx) — every_n-th frame sampling plan.
+
+    'real' probes YUV4MPEG2 (.y4m) payloads with the pure-stdlib codec
+    (lse.y4m — header parse + FRAME walk, no ffmpeg); non-Y4M payloads
+    raise ValueError (loud skip → quarantine, like the PNG/WAV lanes).
+    'fake' keeps the deterministic stand-in for contract tests."""
     schema = "id long, frame_idx int"
 
     def run(batches: Iterable[pd.DataFrame]):
@@ -226,12 +239,71 @@ def video_frame_sample(
             ids, fidx = [], []
             for i, payload in zip(pdf["id"], pdf["payload"]):
                 if backend == "real":
-                    raise NotImplementedError("video probe requires ffmpeg")
-                n_frames = int(_payload_rng(bytes(payload)).integers(1, 300))
+                    from .y4m import probe_y4m
+
+                    _w, _h, _fps, n_frames = probe_y4m(bytes(payload))
+                else:
+                    n_frames = int(_payload_rng(bytes(payload)).integers(1, 300))
                 for f in range(0, n_frames, every_n):
                     ids.append(i)
                     fidx.append(f)
             yield pd.DataFrame({"id": ids, "frame_idx": pd.Series(fidx, dtype="int32")})
+
+    return df.select("id", "payload").mapInPandas(run, schema)
+
+
+def video_features(
+    df: DataFrame, every_n: int = 10, backend: str = "real"
+) -> DataFrame:
+    """(id, width, height, fps, n_frames, sampled_frames, y_mean, y_std) —
+    real Y4M decode: luma statistics over the every_n-th frames, proving
+    the pixel path end-to-end (golden-frame tested). Arrow-batched; only
+    sampled frames' luma planes are materialized."""
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("fps", T.DoubleType()),
+            T.StructField("n_frames", T.IntegerType()),
+            T.StructField("sampled_frames", T.IntegerType()),
+            T.StructField("y_mean", T.DoubleType()),
+            T.StructField("y_std", T.DoubleType()),
+        ]
+    )
+
+    def run(batches: Iterable[pd.DataFrame]):
+        from .y4m import decode_y4m, probe_y4m
+
+        for pdf in batches:
+            out = {k: [] for k in ("id", "width", "height", "fps", "n_frames",
+                                   "sampled_frames", "y_mean", "y_std")}
+            for i, payload in zip(pdf["id"], pdf["payload"]):
+                data = bytes(payload)
+                if backend == "fake":
+                    rng = _payload_rng(data)
+                    w, h = int(rng.integers(16, 64)), int(rng.integers(16, 64))
+                    nf = int(rng.integers(1, 300))
+                    frames = [rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+                              for _ in range(0, nf, every_n)]
+                    fps = 25.0
+                else:
+                    w, h, fps, nf = probe_y4m(data)
+                    want = list(range(0, nf, every_n))
+                    frames = [y for _idx, y in decode_y4m(data, want)]
+                luma = np.concatenate([f.ravel() for f in frames]).astype(np.float64)
+                out["id"].append(int(i))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["fps"].append(float(fps))
+                out["n_frames"].append(nf)
+                out["sampled_frames"].append(len(frames))
+                out["y_mean"].append(float(luma.mean()) if luma.size else 0.0)
+                out["y_std"].append(float(luma.std()) if luma.size else 0.0)
+            yield pd.DataFrame(out).astype(
+                {"width": "int32", "height": "int32",
+                 "n_frames": "int32", "sampled_frames": "int32"}
+            )
 
     return df.select("id", "payload").mapInPandas(run, schema)
 

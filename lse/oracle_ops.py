@@ -289,7 +289,49 @@ def oracle_ann_ivf(
     return _cos_topk(ids[mask], X[mask], q, k)
 
 
+# ---------------------------------------------------------------- video
+def synthetic_video_frames(doc_id: int, h: int = 8, w: int = 8):
+    """Deterministic luma frames for the video oracle lane: frame count and
+    pixel values are pure functions of doc_id (the SHARED fixture spec the
+    Spark query encodes to Y4M and the replica computes analytically)."""
+    nf = 1 + int(doc_id) % 20
+    y, x = np.mgrid[0:h, 0:w]
+    return [
+        ((int(doc_id) * 31 + k * 7 + x + y * w) % 256).astype(np.uint8)
+        for k in range(nf)
+    ]
+
+
+def oracle_video_features(docs: pd.DataFrame, every_n: int = 5) -> pd.DataFrame:
+    """(id, width, height, fps, n_frames, sampled_frames, y_mean, y_std)
+    computed ANALYTICALLY from the synthetic frame spec — no Y4M bytes are
+    built here, so the Spark side's encode→decode round trip through
+    lse.y4m is what the match certifies."""
+    out = {k: [] for k in ("id", "width", "height", "fps", "n_frames",
+                           "sampled_frames", "y_mean", "y_std")}
+    for doc_id in docs["doc_id"]:
+        frames = synthetic_video_frames(int(doc_id))
+        nf = len(frames)
+        sampled = frames[::every_n]
+        luma = np.concatenate([f.ravel() for f in sampled]).astype(np.float64)
+        out["id"].append(int(doc_id))
+        out["width"].append(8)
+        out["height"].append(8)
+        out["fps"].append(25.0)
+        out["n_frames"].append(nf)
+        out["sampled_frames"].append(len(sampled))
+        out["y_mean"].append(_round_half_up(float(luma.mean()), 6))
+        out["y_std"].append(_round_half_up(float(luma.std()), 6))
+    df = pd.DataFrame(out)
+    return df.astype(
+        {"id": "int64", "width": "int64", "height": "int64", "fps": "float64",
+         "n_frames": "int64", "sampled_frames": "int64",
+         "y_mean": "float64", "y_std": "float64"}
+    )
+
+
 GOLDEN_OPS = {
+    "video_features": ("documents", oracle_video_features),
     "minhash_pairs": ("documents", oracle_minhash_pairs),
     "simhash": ("documents", oracle_simhash),
     "fingerprints": ("documents", oracle_fingerprints),
