@@ -54,7 +54,7 @@ from .codec import decode_postings
 from .constants import BM25_B, BM25_K1, MAX_SEARCH_LIMIT
 from .ids import member_mask
 from .querydsl import Bool, Field, Node, Not, Phrase, Prefix, Range, Term
-from .wand import TermCursor, wand_topk, wand_topk_and, wand_topk_bulk
+from .wand import TermCursor, wand_topk_and, wand_topk_bulk
 
 # AQE toggling is session-global; concurrent serving queries must not
 # interleave their set/restore pairs (an unbalanced restore would leave AQE

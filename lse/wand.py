@@ -216,7 +216,13 @@ def wand_topk(
     avgdl: float,
     initial_threshold: float = float("-inf"),
 ) -> List[Tuple[int, float]]:
-    """Exact top-k over the OR of the given term cursors (score = sum)."""
+    """Exact top-k over the OR of the given term cursors (score = sum).
+
+    TEST ORACLE ONLY — the textbook per-posting document-at-a-time WAND
+    loop, kept as the independent cross-check for the production
+    ``wand_topk_bulk`` range-bulk kernel (tests/test_wand.py). No
+    production code path reaches it: SearchEngine routes OR top-k to the
+    bulk kernel or the bucket tier exclusively."""
     if k <= 0:
         return []
     top = TopK(k)

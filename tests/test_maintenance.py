@@ -211,3 +211,78 @@ def test_compact_merges_segments_and_preserves_results(spark, tmp_path):
     from lse.build import verify_index
 
     assert verify_index(spark, d) == []
+
+
+# ------------------------------------------- concurrent reader vs writer
+def test_reader_snapshot_isolation_under_upsert(spark, tmp_path):
+    """A SearchEngine opened before an upsert keeps serving ITS snapshot —
+    results identical to pre-upsert — while a freshly opened engine sees
+    the new logical corpus (the reference's segments.gen contract:
+    docs/PROJECT_SPEC.md:236-239, adapted to immutable parquet segments)."""
+    from lse.streaming import upsert_batch
+
+    src = make_repos_df(spark, n_docs=80, partitions=2)
+    d = str(tmp_path / "iso_idx")
+    build_index(spark, src, d, n_buckets=2, index_partitions=2)
+    queries = ["spark", "java OR python", '"distributed system"', "-spark"]
+    reader = SearchEngine(spark, d)
+    before = {q: reader.search_result(q, 20) for q in queries}
+
+    batch = (
+        src.limit(15)
+        .withColumn("content", F.concat(F.col("content"), F.lit(" zzznewterm")))
+        .select("repo", "path", "commit", "lang", "content")
+    )
+    res = upsert_batch(spark, d, batch, n_buckets=2, index_partitions=2)
+    assert res["tombstoned"] == 15 and res["delta_docs"] == 15
+
+    for q in queries:  # the old reader's snapshot is unchanged
+        hits, total = reader.search_result(q, 20)
+        assert total == before[q][1], q
+        assert [h[0] for h in hits] == [h[0] for h in before[q][0]], q
+    fresh = SearchEngine(spark, d)
+    assert fresh.search_result("zzznewterm", 20)[1] == 15
+    assert reader.search_result("zzznewterm", 20)[1] == 0
+
+
+def test_warm_reader_serves_across_compact_swap(spark, tmp_path):
+    """A WARMED engine keeps serving correct results while compact swaps
+    the directory under it (its tables are pinned in the block manager;
+    parquet segments are immutable), and a reopened engine returns the
+    same results from the single compacted segment."""
+    from lse.maintenance import _segments, compact
+    from lse.streaming import upsert_batch
+
+    src = make_repos_df(spark, n_docs=80, partitions=2)
+    cols = "repo string, path string, commit string, lang string, content string"
+    rows = src.select("repo", "path", "commit", "lang", "content").collect()
+    d = str(tmp_path / "swap_idx")
+    build_index(
+        spark,
+        spark.createDataFrame(rows[:60], cols),
+        d, n_buckets=2, index_partitions=2,
+    )
+    upsert_batch(
+        spark, d, spark.createDataFrame(rows[60:], cols),
+        n_buckets=2, index_partitions=2, auto_compact_segments=0,
+    )
+    assert len(_segments(d)) == 2
+    reader = SearchEngine(spark, d)
+    reader.warm()
+    queries = ["spark", "java OR python", '"distributed system"']
+    before = {q: reader.search_result(q, 20) for q in queries}
+
+    compact(spark, d)
+    assert len(_segments(d)) == 1
+
+    for q in queries:  # old snapshot still serves, old or new — never a mix
+        hits, total = reader.search_result(q, 20)
+        assert total == before[q][1], q
+        assert [h[0] for h in hits] == [h[0] for h in before[q][0]], q
+        for (_, a), (_, b) in zip(hits, before[q][0]):
+            assert abs(a - b) < 1e-9
+    fresh = SearchEngine(spark, d)
+    for q in queries:  # compaction preserved doc ids and scores
+        hits, total = fresh.search_result(q, 20)
+        assert total == before[q][1], q
+        assert [h[0] for h in hits] == [h[0] for h in before[q][0]], q
