@@ -548,6 +548,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "vec_id", F.round("cos", 4).alias("cos")
         )
 
+    def q_train_val_split(spark, sf):
+        """Deterministic content-hash train/val split (leakage-safe dataset
+        partitioner): md5-derived bucket, fully transcribed in the DuckDB
+        oracle — assignment must be a pure function of content."""
+        from lse.textops import add_split
+
+        d = spark.read.parquet(os.path.join(sf, "documents.parquet")).select(
+            "doc_id", F.col("text").alias("content")
+        )
+        return add_split(d).select(
+            "doc_id", "split", F.col("split_bucket").cast("long").alias("split_bucket")
+        )
+
+    def q_redact_pii(spark, sf):
+        """PII scrubbing pass: plant a deterministic email/IP/number tail on
+        every doc, redact, and compare the full redacted text against the
+        same regex chain transcribed in DuckDB (Java regex vs RE2 — the
+        patterns are common-subset by construction)."""
+        from lse.textops import redact_pii
+
+        d = spark.read.parquet(os.path.join(sf, "documents.parquet")).select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"), F.col("doc_id").cast("string"),
+                F.lit("@example.com from 10.2."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".7 acct 12345678901"),
+            ).alias("content"),
+        )
+        return redact_pii(d).select("doc_id", "redacted")
+
     def q_video_features(spark, sf):  # golden-fixture oracle (oracle_ops)
         """Real Y4M decode end-to-end: deterministic synthetic frames
         (pure function of doc_id — lse.oracle_ops.synthetic_video_frames)
@@ -667,10 +699,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_term_scores": q_stream_term_scores,
         "audio_features": q_audio_features,
         "video_features": q_video_features,
+        "train_val_split": q_train_val_split,
+        "redact_pii": q_redact_pii,
     }
 
 
-_GOLDEN_DIR = "/root/repo/goldens/sf0.01"
+_GOLDEN_ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "goldens")
+
+
+def _golden_dir() -> str:
+    """The driver compares at sf=0.01 (its documented gate scale) — that is
+    the default; LSE_GOLDEN_SF lets the pytest suite exercise the same
+    oracle lane at sf0.001."""
+    return os.path.join(_GOLDEN_ROOT, os.environ.get("LSE_GOLDEN_SF", "sf0.01"))
 
 
 def _golden_sql(name: str, cols: str) -> str:
@@ -682,7 +723,7 @@ def _golden_sql(name: str, cols: str) -> str:
     value-hash compare binds the Spark kernels to it.
     tests/test_golden_oracles.py re-derives the goldens each run and fails
     on staleness, so a testdata regeneration cannot silently pass."""
-    return f"SELECT {cols} FROM read_parquet('{_GOLDEN_DIR}/{name}.parquet')"
+    return f"SELECT {cols} FROM read_parquet('{_golden_dir()}/{name}.parquet')"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -702,6 +743,26 @@ def oracle_sql() -> dict[str, str]:
             "video_features",
             "id, width, height, fps, n_frames, sampled_frames, y_mean, y_std",
         ),
+        "train_val_split": """
+            SELECT doc_id,
+                   CASE WHEN ('0x' || substr(md5(text), 1, 8))::UBIGINT % 100 < 90
+                        THEN 'train' ELSE 'val' END AS split,
+                   (('0x' || substr(md5(text), 1, 8))::UBIGINT % 100)::BIGINT
+                     AS split_bucket
+            FROM documents""",
+        "redact_pii": """
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         text || ' contact user' || doc_id
+                              || '@example.com from 10.2.'
+                              || (doc_id % 256) || '.7 acct 12345678901',
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                         '<EMAIL>', 'g'),
+                       '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
+                     '\\b\\d{9,16}\\b', '<NUMBER>', 'g') AS redacted
+            FROM documents""",
         "tokenize_tf": _TOK_CTE + "SELECT doc_id, term, tf FROM tf",
         "term_df": _TOK_CTE + "SELECT term, df FROM dfreq",
         "corpus_stats": _TOK_CTE

@@ -139,3 +139,45 @@ def fingerprints(
             yield pd.DataFrame({"doc_id": out_id, "fingerprints": out_fp})
 
     return df.select("doc_id", col).mapInPandas(run, schema)
+
+
+# --------------------------------------------------- dataset curation ops
+def add_split(
+    df: DataFrame, col: str = "content", train_pct: int = 90, out: str = "split"
+) -> DataFrame:
+    """Deterministic content-hash train/val split — the standard
+    leakage-safe dataset partitioner: the assignment is a pure function of
+    the CONTENT (md5 first 8 hex digits mod 100), so exact duplicates land
+    in the same side regardless of row order, partitioning, or re-runs, and
+    no RNG state needs coordinating across 1000 executors. Pure JVM column
+    expressions (whole-stage codegen)."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(col)), 1, 8), 16, 10).cast("long") % 100
+    )
+    return df.withColumn(
+        out, F.when(bucket < train_pct, F.lit("train")).otherwise(F.lit("val"))
+    ).withColumn(out + "_bucket", bucket.cast("int"))
+
+
+# (pattern, replacement) — conservative common-subset regexes that parse
+# identically under Java regex (Spark) and RE2 (DuckDB/ripgrep): no
+# backrefs, no lookaround
+PII_PATTERNS = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\b\d{9,16}\b", "<NUMBER>"),
+]
+
+
+def redact_pii(
+    df: DataFrame, col: str = "content", out: str = "redacted"
+) -> DataFrame:
+    """Replace emails / IPv4 addresses / long digit runs (SSN, phone,
+    account numbers) with typed placeholder tokens — the training-data
+    scrubbing pass. Chained JVM regexp_replace, no Python in the hot
+    path; order matters (emails first, so their digits never half-match
+    the number pattern)."""
+    expr = F.col(col)
+    for pat, repl in PII_PATTERNS:
+        expr = F.regexp_replace(expr, pat, repl)
+    return df.withColumn(out, expr)

@@ -14,6 +14,8 @@ import pytest
 import __spark_entry__ as entry_mod
 
 SF_DIR = os.environ.get("LSE_ENTRY_SF_DIR", "/root/testdata/sf0.001")
+# point the golden-fixture oracles (lse/oracle_ops.py) at THIS sf's goldens
+os.environ["LSE_GOLDEN_SF"] = os.path.basename(SF_DIR.rstrip("/"))
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
@@ -55,7 +57,9 @@ def test_rows_only_queries_run(spark, name):
 
 
 @pytest.mark.parametrize("name", QUERY_NAMES)
-def test_query_vs_duckdb_oracle(spark, ddb, name):
+def test_query_vs_duckdb_oracle(spark, ddb, name, monkeypatch):
+    # golden-fixture oracles resolve their parquet path at call time
+    monkeypatch.setenv("LSE_GOLDEN_SF", os.path.basename(SF_DIR.rstrip("/")))
     q = entry_mod.queries()[name]
     sql = entry_mod.oracle_sql()[name]
     got = q(spark, SF_DIR).toPandas()

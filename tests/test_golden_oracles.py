@@ -65,9 +65,10 @@ def test_spark_output_matches_golden(name, spark):
 
 
 @pytest.mark.parametrize("name", sorted(GOLDEN_OPS))
-def test_oracle_sql_reproduces_golden(name):
+def test_oracle_sql_reproduces_golden(name, monkeypatch):
     import duckdb
 
+    monkeypatch.setenv("LSE_GOLDEN_SF", SF)  # resolve against sf0.01 goldens
     sql = entry.oracle_sql()[name]
     got = duckdb.connect().execute(sql).df()
     committed = pd.read_parquet(os.path.join(REPO, "goldens", SF, f"{name}.parquet"))
