@@ -245,6 +245,7 @@ def build_index(
     resume: bool = True,
     stop_after_stage: Optional[str] = None,
     cache_term_doc: Optional[bool] = None,
+    broadcast_vocab_limit: int = 4_000_000,
 ) -> Optional[BuildResult]:
     """Build (or resume) the full index under ``index_dir``.
 
@@ -409,27 +410,36 @@ def build_index(
         score_avgdl = max(float(stats["avgdl"]), 1.0)
         # global df joins into the THIN (doc,term) frame BEFORE encoding —
         # the alternative (joining df onto the encoded output) would
-        # shuffle every multi-KB blob by term, or force a driver-sized
-        # broadcast of a 10^8-term vocabulary at full scale. The explicit
-        # repartition(term, bucket) between the join and the groupBy is the
-        # skew guard: when the vocabulary is too large to broadcast the
-        # join becomes a sort-merge exchange on hash(term), which WOULD
-        # satisfy the groupBy's clustered(term,bucket) requirement as-is —
-        # collapsing every bucket of a hot/stopword term (df→N) into one
-        # task and reintroducing the single-task hot-posting bottleneck the
-        # doc-range bucketing exists to prevent. Forcing hash(term,bucket)
-        # costs one extra exchange ONLY in that SMJ regime (in the
-        # broadcast regime it simply replaces the exchange the groupBy
-        # would have inserted) and keeps hot terms split across buckets.
+        # shuffle every multi-KB blob by term. The join REGIME decides the
+        # skew guard (ADVICE r3, medium):
+        # * vocabulary ≤ broadcast_vocab_limit → an EXPLICIT broadcast
+        #   hint (deterministic, not cost-estimator-dependent): term_doc
+        #   keeps its distribution and the groupBy inserts its own
+        #   hash(term,bucket) exchange — one shuffle, hot terms split.
+        # * bigger vocabulary (the 10^12-file regime) → sort-merge join
+        #   whose hash(term) exchange WOULD satisfy the groupBy's
+        #   clustered(term,bucket) requirement as-is, collapsing every
+        #   bucket of a hot/stopword term (df→N) into ONE task; the
+        #   explicit repartition(term, bucket) re-splits them — one extra
+        #   exchange, paid only in this regime, bounded by the doc-range
+        #   bucketing contract (module docstring).
+        # The vocab count is one partial-agg job over the cached term_doc —
+        # noise next to the encode shuffle it sizes.
         df_global = term_doc.groupBy("term").agg(F.count("*").alias("df"))
-        enc = (
-            term_doc.select("term", "bucket", "doc_id", "tf", "dl", "positions")
-            .join(df_global, "term")
-            .repartition("term", "bucket")
-            .groupBy("term", "bucket")
-            .applyInPandas(
-                _encode_groups(score_avgdl, with_positions), POSTINGS_SCHEMA
-            )
+        # without the term_doc cache the count would re-tokenize the whole
+        # corpus — low-memory builds take the (always-correct) SMJ path
+        n_terms = (
+            df_global.count() if cache_term_doc else broadcast_vocab_limit + 1
+        )
+        thin = term_doc.select(
+            "term", "bucket", "doc_id", "tf", "dl", "positions"
+        )
+        if n_terms <= broadcast_vocab_limit:
+            joined = thin.join(F.broadcast(df_global), "term")
+        else:
+            joined = thin.join(df_global, "term").repartition("term", "bucket")
+        enc = joined.groupBy("term", "bucket").applyInPandas(
+            _encode_groups(score_avgdl, with_positions), POSTINGS_SCHEMA
         )
         # the kernel output still has TWO consumers (repartitionByRange's
         # boundary sampling + the write) — persist so the most expensive

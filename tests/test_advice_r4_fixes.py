@@ -36,7 +36,12 @@ def test_encode_distribution_parity_without_broadcast(spark, tmp_path):
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        build_index(spark, source, idx, n_buckets=4, index_partitions=4)
+        # broadcast_vocab_limit=0 forces the big-vocab path: SMJ df join +
+        # explicit repartition(term, bucket) before the encode groupBy
+        build_index(
+            spark, source, idx, n_buckets=4, index_partitions=4,
+            broadcast_vocab_limit=0,
+        )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     eng = SearchEngine(spark, idx)
