@@ -591,6 +591,19 @@ class LocalExecutor:
                     got = self._eval_or_accumulator(flat)
                     if got is not None:
                         return got
+            if node.op == "AND":
+                # AND-pushdown: when one side is a flat OR of ≥2 terms,
+                # never materialize the OR's union (a df→N accumulator at
+                # hot-term scale) — score each OR term directly over the
+                # other side's id set via binary search. Semantics equal
+                # intersect_sum(other, union): ids = other ∩ (∪ terms),
+                # score = other + Σ per-occurrence term scores.
+                for a_node, b_node in (
+                    (node.left, node.right), (node.right, node.left)
+                ):
+                    terms = self._flat_or_terms(b_node)
+                    if terms is not None and len(terms) >= 2:
+                        return self._and_or_pushdown(a_node, terms, positions)
             left = self._eval(node.left, positions)
             right = self._eval(node.right, positions)
             return (
@@ -599,6 +612,71 @@ class LocalExecutor:
                 else left.union_sum(right)
             )
         return _ScoreSet.empty()
+
+    def _and_or_pushdown(
+        self, a_node: Node, terms: List[str], positions
+    ) -> _ScoreSet:
+        """``a AND (t1 OR t2 OR …)`` without building the OR union: keep the
+        ``a`` docs matching ≥1 term, scores summed per OCCURRENCE (duplicate
+        terms add twice — union_sum parity; accumulation order t1,t2,… then
+        base+Σ matches the oracle's union-then-intersect float order).
+
+        Fast path: rank-space accumulation over the doc universe — every
+        per-term step is O(df) fancy indexing against the CACHED rank
+        arrays (no per-query binary searches); when ``a`` is itself a Term
+        its ranks are cached too. Falls back to binary-search membership
+        when the universe/ranks are unavailable."""
+        base = self._eval(a_node, positions)
+        if base.ids.size == 0:
+            return _ScoreSet.empty()
+        universe = self._all_ids
+        base_ranks = None
+        # rank accumulation costs O(N + Σ df); for a SMALL base the
+        # binary-search fallback (O(|base| log df) per term) is cheaper
+        if universe is not None and base.ids.size * 8 > universe.size:
+            if isinstance(a_node, Term):
+                base_ranks = self._term_ranks(a_node.term.lower(), base.ids)
+            else:
+                br = np.searchsorted(universe, base.ids)
+                if int(br[-1]) < universe.size and np.array_equal(
+                    universe[br], base.ids
+                ):
+                    base_ranks = br
+        if base_ranks is not None:
+            total = np.zeros(universe.size)
+            inbase = np.zeros(universe.size, dtype=bool)
+            inbase[base_ranks] = True
+            ok = True
+            for t in terms:
+                ss = self._score_term(t)
+                if ss.ids.size == 0:
+                    continue
+                ranks = self._term_ranks(t, ss.ids)
+                if ranks is None:
+                    ok = False
+                    break
+                m = inbase[ranks]
+                total[ranks[m]] += ss.scores[m]
+            if ok:
+                sel = np.flatnonzero(total)  # BM25 scores strictly positive
+                bidx = np.searchsorted(base_ranks, sel)
+                return _ScoreSet(universe[sel], base.scores[bidx] + total[sel])
+        # fallback: binary-search each term against the base id set (same
+        # t1,t2,…-then-base float order as the rank path / oracle)
+        orsum = np.zeros(base.ids.size)
+        matched = np.zeros(base.ids.size, dtype=bool)
+        for t in terms:
+            ss = self._score_term(t)
+            if ss.ids.size == 0:
+                continue
+            idx = np.searchsorted(ss.ids, base.ids)
+            np.minimum(idx, ss.ids.size - 1, out=idx)
+            m = ss.ids[idx] == base.ids
+            matched |= m
+            orsum[m] += ss.scores[idx[m]]
+        return _ScoreSet(
+            base.ids[matched], base.scores[matched] + orsum[matched]
+        )
 
     def _eval_phrase(self, terms: List[str], positions) -> _ScoreSet:
         norm = [(t or "").lower() for t in terms]
