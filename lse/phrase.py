@@ -138,15 +138,29 @@ def match_phrase(
 
 def merge_shards(shards: List[TermPositions]) -> TermPositions:
     """Merge per-(segment/bucket) decoded position shards of ONE term into a
-    single flat TermPositions sorted by doc id. Shards are disjoint in doc
-    space (a doc lives in exactly one segment; buckets are doc ranges)."""
+    single flat TermPositions sorted by doc id.
+
+    Fast path: buckets are fixed doc-id RANGES, so a single segment's
+    shards never interleave — ordering the shards by first doc id and
+    concatenating is the whole merge (O(total) memcpy, no per-element
+    argsort/gather). Shards from DELTA segments can interleave with the
+    base in doc space; the range check detects that and falls back to the
+    element-wise stable sort."""
+    shards = [s for s in shards if s[0].size]
     if not shards:
         return empty_positions()
     if len(shards) == 1:
         return shards[0]
+    shards.sort(key=lambda s: int(s[0][0]))
+    disjoint = all(
+        int(shards[i][0][-1]) < int(shards[i + 1][0][0])
+        for i in range(len(shards) - 1)
+    )
     ids = np.concatenate([s[0] for s in shards])
     counts = np.concatenate([s[1] for s in shards])
     flat = np.concatenate([s[2] for s in shards])
+    if disjoint:
+        return ids, counts, flat
     order = np.argsort(ids, kind="stable")
     sel_counts, sel_flat = segment_gather(counts, flat, order)
     return ids[order], sel_counts, sel_flat
