@@ -240,7 +240,11 @@ class SearchEngine:
             )
         return self._local
 
-    def warm(self) -> "SearchEngine":
+    def warm(
+        self,
+        prefetch_terms: int = 64,
+        prefetch_positions: int = 16,
+    ) -> "SearchEngine":
         """Pin the query-facing tables on the executors (MEMORY_AND_DISK)
         and materialize them — the serving analog of the reference keeping
         its segments open in-process (QueryEngine.java:211-242). Postings /
@@ -274,6 +278,17 @@ class SearchEngine:
         if self.N <= self.local.meta_limit:
             self.local.meta()  # pre-pay the one-time metadata collect
             self.local.all_doc_ids()  # …and the NOT path's universe array
+        # head-of-Zipf cache warming: the query mix's hot terms are, with
+        # overwhelming probability, the highest-df terms — prefetch the top
+        # ``prefetch_terms`` postings (and top ``prefetch_positions``
+        # position blobs, the phrase path) into the local tier's LRUs in
+        # ONE batched collect each, so FIRST-touch queries over common
+        # terms serve at warm latency instead of paying a per-query Spark
+        # job. Byte-capped: prefetch stops once the predicted decoded
+        # volume would crowd the LRU (decoded postings ≈ 16× payload
+        # bytes), so a huge corpus warms partially rather than evicting
+        # itself. Pass 0/0 to skip.
+        self._prefetch_hot_terms(prefetch_terms, prefetch_positions)
         # pre-run one tiny query per distributed tier: spins up the python
         # workers, JITs the kernels, and fills Spark's task-serialization
         # caches so the FIRST real query pays ~warm latency, not 1-8 s
@@ -289,6 +304,61 @@ class SearchEngine:
             except Exception:  # pragma: no cover — warm must never fail a load
                 pass
         return self
+
+    def _prefetch_hot_terms(self, n_terms: int, n_positions: int) -> None:
+        """Fill the local tier's decoded LRUs with the highest-df terms.
+
+        Selection is by the routing dictionary's df column (postings) and
+        payload bytes (positions); the cumulative PAYLOAD budget is sized
+        so the decoded arrays (≈16× payload) fill at most half the LRU —
+        warming must accelerate the head, never evict the session's own
+        working set."""
+        loc = self.local
+        if loc._dict_terms is None or not len(loc._dict_terms):
+            return
+        try:
+            if n_terms > 0:
+                order = np.argsort(loc._dict_df)[::-1]
+                budget = min(
+                    loc.postings_byte_budget,
+                    loc._postings_cache.byte_budget // 32,
+                )
+                picked, used = [], 0
+                for i in order[:n_terms]:
+                    b = int(loc._dict_bytes[i])
+                    if used + b > budget and picked:
+                        break
+                    used += b
+                    picked.append(str(loc._dict_terms[i]))
+                if picked:
+                    loc.fetch_terms(sorted(picked), [])
+                    # prime the derived caches too (BM25 score arrays +
+                    # universe ranks) — first-touch then equals warm
+                    for t in picked:
+                        ss = loc._score_term(t)
+                        if loc._all_ids is not None and ss.ids.size:
+                            loc._term_ranks(t, ss.ids)
+            if (
+                n_positions > 0
+                and self.positions is not None
+                and loc._load_pos_dictionary()
+            ):
+                order = np.argsort(loc._pos_bytes)[::-1]
+                budget = min(
+                    loc.positions_byte_budget,
+                    loc._positions_cache.byte_budget // 32,
+                )
+                picked, used = [], 0
+                for i in order[:n_positions]:
+                    b = int(loc._pos_bytes[i])
+                    if used + b > budget and picked:
+                        break
+                    used += b
+                    picked.append(str(loc._pos_terms[i]))
+                if picked:
+                    loc._positions_for(sorted(picked))
+        except Exception:  # pragma: no cover — warm must never fail a load
+            pass
 
     def _serving_conf(self):
         """Context manager: disable AQE while planning a latency-path query.

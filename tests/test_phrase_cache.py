@@ -88,3 +88,33 @@ def test_phrase_slot_order_is_semantically_neutral(eng):
         assert [h[0] for h in hits] == [h[0] for h in ohits], q
         for (_, a), (_, b) in zip(hits, ohits):
             assert abs(a - b) < 1e-9, q
+
+
+def test_warm_prefetches_hot_terms(spark, fixture_index):
+    """warm() pre-fills the local LRUs with the highest-df terms (postings
+    + scores + ranks + positions) so first-touch equals warm for the head
+    of the distribution — and results stay identical to a cold engine."""
+    index_dir, docs_pdf = fixture_index
+    cold = SearchEngine(spark, index_dir)
+    warm = SearchEngine(spark, index_dir).warm()
+    assert len(warm.local._postings_cache) > 0
+    assert len(warm.local._positions_cache) > 0
+    # the highest-df dictionary term must be cached with primed scores
+    import numpy as np
+
+    top = str(warm.local._dict_terms[int(np.argmax(warm.local._dict_df))])
+    assert top in warm.local._postings_cache
+    assert warm.local._scores_cache.get(top) is not None
+    hits_w, total_w = warm.search_result(top, 10)
+    hits_c, total_c = cold.search_result(top, 10)
+    assert total_w == total_c
+    assert [h[0] for h in hits_w] == [h[0] for h in hits_c]
+    for (_, a), (_, b) in zip(hits_w, hits_c):
+        assert abs(a - b) < 1e-9
+
+
+def test_warm_prefetch_disabled(spark, fixture_index):
+    index_dir, _ = fixture_index
+    eng = SearchEngine(spark, index_dir)
+    eng.warm(prefetch_terms=0, prefetch_positions=0)
+    assert len(eng.local._positions_cache) == 0
