@@ -548,6 +548,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "vec_id", F.round("cos", 4).alias("cos")
         )
 
+    def q_pack_ids(spark, sf):
+        """Sequence packing (pretraining batcher): distributed two-phase
+        prefix sum must be BIT-IDENTICAL to the single-partition window
+        cumsum the DuckDB oracle computes."""
+        from lse.packing import assign_pack_ids
+        from lse.textops import add_token_counts
+
+        d = spark.read.parquet(os.path.join(sf, "documents.parquet")).select(
+            "doc_id", F.col("text").alias("content")
+        )
+        d = add_token_counts(d).select(
+            "doc_id", F.col("whitespace_tokens").cast("long").alias("n_tokens")
+        )
+        return assign_pack_ids(d, budget=512, n_parts=16).select(
+            "doc_id", "n_tokens", "pack_id"
+        )
+
+    def q_ngram_counts(spark, sf):
+        """Corpus-wide token bigram frequency table (LM-training count
+        statistic, multiplicity kept) — full DuckDB transcription."""
+        from lse.textops import ngram_counts
+
+        d = spark.read.parquet(os.path.join(sf, "documents.parquet")).select(
+            F.col("text").alias("content")
+        )
+        return ngram_counts(d, n=2, min_count=3)
+
     def q_train_val_split(spark, sf):
         """Deterministic content-hash train/val split (leakage-safe dataset
         partitioner): md5-derived bucket, fully transcribed in the DuckDB
@@ -700,6 +727,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "video_features": q_video_features,
         "train_val_split": q_train_val_split,
+        "ngram_counts": q_ngram_counts,
+        "pack_ids": q_pack_ids,
         "redact_pii": q_redact_pii,
     }
 
@@ -743,6 +772,32 @@ def oracle_sql() -> dict[str, str]:
             "video_features",
             "id, width, height, fps, n_frames, sampled_frames, y_mean, y_std",
         ),
+        "pack_ids": """
+            WITH t AS (
+              SELECT doc_id,
+                     len(list_filter(regexp_split_to_array(text, '\\s+'),
+                         w -> w <> ''))::BIGINT AS n_tokens
+              FROM documents
+            )
+            SELECT doc_id, n_tokens,
+                   ((sum(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - n_tokens) // 512)::BIGINT AS pack_id
+            FROM t""",
+        "ngram_counts": """
+            WITH arrs AS (
+              SELECT doc_id, list_filter(
+                       regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       t -> length(t) > 1) AS toks
+              FROM documents
+            ),
+            grams AS (
+              SELECT toks[i] || ' ' || toks[i + 1] AS ngram
+              FROM arrs, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+              WHERE len(toks) >= 2
+            )
+            SELECT ngram, count(*) AS n_count
+            FROM grams GROUP BY 1 HAVING count(*) >= 3""",
         "train_val_split": """
             SELECT doc_id,
                    CASE WHEN ('0x' || substr(md5(text), 1, 8))::UBIGINT % 100 < 90

@@ -181,3 +181,26 @@ def redact_pii(
     for pat, repl in PII_PATTERNS:
         expr = F.regexp_replace(expr, pat, repl)
     return df.withColumn(out, expr)
+
+
+def ngram_counts(
+    df: DataFrame, col: str = "content", n: int = 2, min_count: int = 1
+) -> DataFrame:
+    """(ngram, n_count) — corpus-wide token n-gram frequency table WITH
+    multiplicity (the LM-training statistic, unlike dedup's distinct
+    shingle sets). Pure JVM split/transform/explode + one hash-agg
+    shuffle keyed by the n-gram itself (content-derived, uniform — no
+    skew); at 100 TB this is the canonical count-table job."""
+    toks = F.split(F.lower(F.col(col)), r"[^a-z0-9]+")
+    toks = F.filter(toks, lambda t: F.length(t) > 1)
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return (
+        df.select(F.explode(grams).alias("ngram"))
+        .filter(F.col("ngram") != "")
+        .groupBy("ngram")
+        .agg(F.count("*").alias("n_count"))
+        .filter(F.col("n_count") >= min_count)
+    )

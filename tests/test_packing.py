@@ -1,0 +1,75 @@
+"""Sequence packing (lse.packing.assign_pack_ids): the distributed
+two-phase prefix sum must equal the single-partition window cumsum, with
+the exclusive-prefix pack definition."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lse.packing import assign_pack_ids
+
+
+def _table(spark, tokens):
+    return spark.createDataFrame(
+        [(i, int(t)) for i, t in enumerate(tokens)], "doc_id long, n_tokens long"
+    )
+
+
+def _reference(tokens, budget):
+    out, run = [], 0
+    for t in tokens:
+        out.append(run // budget)
+        run += t
+    return out
+
+
+@pytest.mark.parametrize("n_parts", [1, 3, 16])
+def test_matches_serial_reference(spark, n_parts):
+    rng = np.random.default_rng(7)
+    tokens = rng.integers(1, 400, size=300).tolist()
+    got = {
+        r["doc_id"]: r["pack_id"]
+        for r in assign_pack_ids(
+            _table(spark, tokens), budget=512, n_parts=n_parts
+        ).collect()
+    }
+    want = _reference(tokens, 512)
+    assert [got[i] for i in range(len(tokens))] == want
+
+
+def test_pack_invariants(spark):
+    rng = np.random.default_rng(11)
+    tokens = rng.integers(1, 300, size=400).tolist()
+    rows = sorted(
+        assign_pack_ids(_table(spark, tokens), budget=1000).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    packs = [r["pack_id"] for r in rows]
+    assert packs == sorted(packs)  # monotone in doc order
+    assert packs[0] == 0
+    # a pack's token total exceeds budget only via its final straddling doc
+    sums = {}
+    for r in rows:
+        sums[r["pack_id"]] = sums.get(r["pack_id"], 0) + r["n_tokens"]
+    for p, s in sums.items():
+        assert s < 1000 + 300, (p, s)
+
+
+def test_empty_and_zero_budget(spark):
+    empty = assign_pack_ids(_table(spark, []), budget=10)
+    assert empty.count() == 0 and "pack_id" in empty.columns
+    with pytest.raises(ValueError):
+        assign_pack_ids(_table(spark, [1]), budget=0)
+
+
+def test_sparse_nonuniform_ids(spark):
+    # id gaps and skewed ranges must not affect the packing (parts are
+    # id-range arithmetic, order is all that matters)
+    ids = [1, 5, 6, 1000, 100000, 100001, 5_000_000]
+    tokens = [10, 20, 30, 40, 50, 60, 70]
+    df = spark.createDataFrame(
+        list(zip(ids, tokens)), "doc_id long, n_tokens long"
+    )
+    got = {r["doc_id"]: r["pack_id"] for r in assign_pack_ids(df, budget=100).collect()}
+    want = _reference(tokens, 100)
+    assert [got[i] for i in ids] == want
