@@ -236,6 +236,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .agg(F.sum("df_shard").alias("df"))
         )
 
+    def q_content_sha(spark, sf):
+        """The input_hint's per-row invariant, checked THROUGH the build:
+        every doc's content_sha256 as persisted in the index docs snapshot
+        must equal DuckDB's sha256 of the source text."""
+        eng = _engine(spark, sf)
+        return spark.read.parquet(os.path.join(eng.index_dir, "docs")).select(
+            "doc_id", "content_sha256"
+        )
+
     def q_corpus_stats(spark, sf):
         eng = _engine(spark, sf)
         return spark.createDataFrame(
@@ -687,6 +696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenize_tf": q_tokenize_tf,
         "term_df": q_term_df,
         "corpus_stats": q_corpus_stats,
+        "content_sha": q_content_sha,
         "term_all": q_term_all,
         "term_topk": q_term_topk,
         "and_query": q_and,
@@ -772,6 +782,8 @@ def oracle_sql() -> dict[str, str]:
             "video_features",
             "id, width, height, fps, n_frames, sampled_frames, y_mean, y_std",
         ),
+        "content_sha": """
+            SELECT doc_id, sha256(text) AS content_sha256 FROM documents""",
         "pack_ids": """
             WITH t AS (
               SELECT doc_id,
