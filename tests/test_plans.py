@@ -60,3 +60,34 @@ def test_doc_stats_filter_pushdown(engine):
     df = engine.doc_stats.filter(F.col("lang") == "md").select("doc_id")
     plan = plan_of(df)
     assert "EqualTo(lang,md)" in plan, plan[:2000]
+
+
+def test_curation_ops_stay_jvm_side(spark):
+    """The curation/count operators must run entirely in JVM codegen — no
+    BatchEvalPython / ArrowEvalPython (row-at-a-time or vectorized Python)
+    anywhere in their plans; a 100-TB pass cannot afford a Python hop."""
+    from lse.textops import add_split, ngram_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma alpha beta")], "doc_id long, content string"
+    )
+    for out in (add_split(df), redact_pii(df), ngram_counts(df, n=2)):
+        plan = plan_of(out)
+        assert "EvalPython" not in plan, plan  # zero Python in the plan
+        # whole-stage pipelines: scan->project / agg chains, no Python
+        # exchange nodes (AQE wraps the tree, so codegen ids only appear
+        # post-execution; EvalPython absence is the invariant)
+
+
+def test_pack_ids_single_pandas_stage(spark):
+    """Sequence packing's heavy pass is exactly ONE applyInPandas over the
+    id-range parts — no window (single-partition) exchange anywhere."""
+    from lse.packing import assign_pack_ids
+
+    df = spark.createDataFrame(
+        [(i, 10) for i in range(100)], "doc_id long, n_tokens long"
+    )
+    plan = plan_of(assign_pack_ids(df, budget=64, n_parts=4))
+    tree = plan.split("\n\n")[0]  # the summary tree (details repeat nodes)
+    assert tree.count("FlatMapGroupsInPandas") == 1, tree
+    assert "Window" not in plan, plan
