@@ -97,6 +97,9 @@ def test_warm_prefetches_hot_terms(spark, fixture_index):
     index_dir, docs_pdf = fixture_index
     cold = SearchEngine(spark, index_dir)
     warm = SearchEngine(spark, index_dir).warm()
+    request_cleanup = spark.catalog.clearCache  # warm() persists tables
+    # globally (Spark cache substitution is plan-based) — clear at exit so
+    # later plan-shape tests still see parquet scans with PushedFilters
     assert len(warm.local._postings_cache) > 0
     assert len(warm.local._positions_cache) > 0
     # the highest-df dictionary term must be cached with primed scores
@@ -111,10 +114,14 @@ def test_warm_prefetches_hot_terms(spark, fixture_index):
     assert [h[0] for h in hits_w] == [h[0] for h in hits_c]
     for (_, a), (_, b) in zip(hits_w, hits_c):
         assert abs(a - b) < 1e-9
+    request_cleanup()
 
 
 def test_warm_prefetch_disabled(spark, fixture_index):
     index_dir, _ = fixture_index
     eng = SearchEngine(spark, index_dir)
-    eng.warm(prefetch_terms=0, prefetch_positions=0)
-    assert len(eng.local._positions_cache) == 0
+    try:
+        eng.warm(prefetch_terms=0, prefetch_positions=0)
+        assert len(eng.local._positions_cache) == 0
+    finally:
+        spark.catalog.clearCache()
