@@ -412,6 +412,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return add_quality(d).select("doc_id", "quality")
 
+    def q_curation_pipeline(spark, sf):
+        """End-to-end curation chain — the composition story: planted
+        duplicates → exact dedup (lowest doc_id survives) → quality gate →
+        deterministic train/val split, all in one lazy plan; the oracle
+        transcribes the full chain."""
+        from lse.dedup import dedup_exact
+        from lse.textops import add_quality, add_split
+
+        d = spark.read.parquet(os.path.join(sf, "documents.parquet")).select(
+            "doc_id", F.col("text").alias("content")
+        )
+        dup = d.filter(F.col("doc_id") < 20).select(
+            (F.col("doc_id") + 10000).alias("doc_id"), "content"
+        )
+        u = d.unionByName(dup)
+        curated = add_split(
+            add_quality(dedup_exact(u)).filter(F.col("quality") >= 0.3)
+        )
+        return curated.select(
+            "doc_id", F.round("quality", 6).alias("quality"), "split"
+        )
+
     def q_embedding_near_dups(spark, sf):
         # plant exact duplicates (copies of vec_id < 10 at +100000) so the
         # LSH-bucketed near-dup operator has real positives; identical
@@ -697,6 +719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_df": q_term_df,
         "corpus_stats": q_corpus_stats,
         "content_sha": q_content_sha,
+        "curation_pipeline": q_curation_pipeline,
         "term_all": q_term_all,
         "term_topk": q_term_topk,
         "and_query": q_and,
@@ -1003,6 +1026,51 @@ def oracle_sql() -> dict[str, str]:
                              THEN 1.0 ELSE 0.6 END),
                    6) AS quality
             FROM m""",
+        "curation_pipeline": f"""
+            WITH u AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 10000, text FROM documents WHERE doc_id < 20
+            ),
+            dedup AS (
+              SELECT doc_id, text FROM (
+                SELECT doc_id, text,
+                       row_number() OVER (PARTITION BY sha256(text)
+                                          ORDER BY doc_id) AS rn
+                FROM u) WHERE rn = 1
+            ),
+            t AS (
+              SELECT doc_id, text,
+                     greatest(length(text), 1)::DOUBLE AS n,
+                     list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                 w -> w <> '') AS words,
+                     length(regexp_replace(text, '[\\w\\s]', '', 'g'))::DOUBLE
+                       AS punct
+              FROM dedup
+            ),
+            m AS (
+              SELECT doc_id, text, n, punct,
+                     greatest(len(words), 1)::DOUBLE AS n_words,
+                     len(list_filter(words, w -> w IN {_STOP_SQL}))::DOUBLE
+                       AS stops
+              FROM t
+            ),
+            scoredq AS (
+              SELECT doc_id, text,
+                     least(n / 200.0, 1.0) * least(1.0, 50000.0 / n)
+                     * greatest(0.0, 1.0 - 4.0 * (punct / n))
+                     * (CASE WHEN stops / n_words > 0.05
+                              AND stops / n_words < 0.6
+                             THEN 1.0 ELSE 0.5 END)
+                     * (CASE WHEN n / n_words > 3.0 AND n / n_words < 12.0
+                             THEN 1.0 ELSE 0.6 END) AS quality
+              FROM m
+            )
+            SELECT doc_id, round(quality, 6) AS quality,
+                   CASE WHEN ('0x' || substr(md5(text), 1, 8))::UBIGINT
+                             % 100 < 90
+                        THEN 'train' ELSE 'val' END AS split
+            FROM scoredq WHERE quality >= 0.3""",
         "embedding_near_dups": """
             WITH u AS (
               SELECT vec_id, embedding::DOUBLE[] AS e
