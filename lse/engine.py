@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import os
 import threading
+from collections import OrderedDict
 from datetime import datetime, timezone
 from functools import reduce
 from typing import Dict, Iterable, List, Optional, Sequence, Tuple
@@ -181,6 +182,9 @@ class SearchEngine:
         # one executor-side copy of the tombstone set for numpy kernels —
         # never a per-plan literal list, never re-pickled per closure
         self._tomb_bc = spark.sparkContext.broadcast(self.tomb_ids)
+        # analyzed serving plans keyed by (tier, query shape, k) — see
+        # _memo_collect; plans only, never data
+        self._plan_memo: "OrderedDict" = OrderedDict()
         n_docs = int(self.stats["n_docs"])
         total_tokens = int(self.stats.get("total_tokens") or 0)
         if self.tomb_ids.size:
@@ -359,6 +363,27 @@ class SearchEngine:
                     loc._positions_for(sorted(picked))
         except Exception:  # pragma: no cover — warm must never fail a load
             pass
+
+    def _memo_collect(self, key, builder) -> list:
+        """Collect a serving plan through a small plan-memo LRU.
+
+        Building + analyzing a fresh applyInPandas plan (UDF pickle, py4j
+        chatter, Catalyst analysis) costs ~0.1 s per query — a third of the
+        distributed tiers' job floor. Serving plans are pure functions of
+        (query shape, k) and engine-static state (segments, tombstones,
+        N/avgdl are fixed per SearchEngine instance), so repeat query
+        shapes reuse the analyzed DataFrame and pay only job execution.
+        The memo holds plans, not data; 64 entries, LRU-evicted."""
+        df = self._plan_memo.get(key)
+        if df is None:
+            df = builder()
+            self._plan_memo[key] = df
+            while len(self._plan_memo) > 64:
+                self._plan_memo.popitem(last=False)
+        else:
+            self._plan_memo.move_to_end(key)
+        with self._serving_conf():
+            return df.collect()
 
     def _serving_conf(self):
         """Context manager: disable AQE while planning a latency-path query.
@@ -889,10 +914,20 @@ class SearchEngine:
             )
 
         try:
-            with self._serving_conf():
-                coll = (
-                    rows.groupBy("bucket").applyInPandas(kern, _SERVE_SCHEMA).collect()
+            if fid_bc is None:  # filter-free shape: plan-memo eligible
+                coll = self._memo_collect(
+                    ("phrase", tuple(terms_local), k),
+                    lambda: rows.groupBy("bucket").applyInPandas(
+                        kern, _SERVE_SCHEMA
+                    ),
                 )
+            else:
+                with self._serving_conf():
+                    coll = (
+                        rows.groupBy("bucket")
+                        .applyInPandas(kern, _SERVE_SCHEMA)
+                        .collect()
+                    )
         finally:
             if fid_bc is not None:
                 fid_bc.unpersist()
@@ -1097,10 +1132,20 @@ class SearchEngine:
             )
 
         try:
-            with self._serving_conf():
-                coll = (
-                    rows.groupBy("bucket").applyInPandas(kern, _SERVE_SCHEMA).collect()
+            if fid_bc is None:  # filter-free shape: plan-memo eligible
+                coll = self._memo_collect(
+                    ("cnf", tuple(map(tuple, groups_local)), k),
+                    lambda: rows.groupBy("bucket").applyInPandas(
+                        kern, _SERVE_SCHEMA
+                    ),
                 )
+            else:
+                with self._serving_conf():
+                    coll = (
+                        rows.groupBy("bucket")
+                        .applyInPandas(kern, _SERVE_SCHEMA)
+                        .collect()
+                    )
         finally:
             if fid_bc is not None:
                 fid_bc.unpersist()
@@ -1280,11 +1325,11 @@ class SearchEngine:
                 }
             )
 
-        per_bucket = rows.groupBy("bucket").applyInPandas(bucket_wand, _TOPK_SCHEMA)
-        with self._serving_conf():
-            top = (
-                per_bucket.orderBy(F.col("score").desc(), F.col("doc_id").asc())
-                .limit(k)
-                .collect()
-            )
+        top = self._memo_collect(
+            ("wand", conjunctive, tuple(sorted(multiplicity.items())), k),
+            lambda: rows.groupBy("bucket")
+            .applyInPandas(bucket_wand, _TOPK_SCHEMA)
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(k),
+        )
         return [(r["doc_id"], r["score"]) for r in top]
