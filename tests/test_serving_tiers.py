@@ -225,3 +225,32 @@ def test_bucket_tier_multi_segment(spark, tmp_path):
         # and search_topk routes there too
         topk = eng.search_topk(q, 10)
         assert [x for x, _ in topk] == [x for x, _ in want], q
+
+
+def test_plan_memo_repeats_and_limits(spark, fixture_index):
+    """The serving plan memo must return identical results on repeats and
+    key distinct limits separately; memo entries are plans, never rows."""
+    from lse.engine import SearchEngine
+
+    index_dir, docs_pdf = fixture_index
+    eng = SearchEngine(spark, index_dir)
+    from lse.oracle import OracleIndex
+
+    oracle = OracleIndex(docs_pdf)
+    q = "java OR python"
+    a5 = eng.search_topk(q, 5, strategy="bucket")
+    a10 = eng.search_topk(q, 10, strategy="bucket")
+    again5 = eng.search_topk(q, 5, strategy="bucket")
+    assert a5 == again5
+    assert len(eng._plan_memo) >= 2  # distinct k -> distinct plans
+    want, _ = oracle.search(q, 10)
+    assert [h[0] for h in a10] == [h[0] for h in want]
+    for (_, x), (_, y) in zip(a10, want):
+        assert abs(x - y) < 1e-9
+    # wand + phrase paths memoize too, and stay correct on repeat
+    w1 = eng.search_topk(q, 10, strategy="wand")
+    w2 = eng.search_topk(q, 10, strategy="wand")
+    assert [h[0] for h in w1] == [h[0] for h in w2] == [h[0] for h in want]
+    p1 = eng.search_result('"distributed system"', 10, mode="bucket")
+    p2 = eng.search_result('"distributed system"', 10, mode="bucket")
+    assert p1 == p2
