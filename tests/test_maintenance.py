@@ -286,3 +286,20 @@ def test_warm_reader_serves_across_compact_swap(spark, tmp_path):
         hits, total = fresh.search_result(q, 20)
         assert total == before[q][1], q
         assert [h[0] for h in hits] == [h[0] for h in before[q][0]], q
+
+
+def test_maybe_compact_declines_without_content(spark, tmp_path):
+    """A content-less index (store_content=False) with no source must
+    DECLINE auto-compaction rather than fail the ingest."""
+    from lse.maintenance import maybe_compact
+
+    src = make_repos_df(spark, n_docs=30, partitions=2)
+    d = str(tmp_path / "nc_idx")
+    build_index(spark, src, d, n_buckets=2, index_partitions=2,
+                store_content=False)
+    res = maybe_compact(spark, d, max_segments=1)  # threshold already met
+    assert res["compacted"] is False and res["reason"] == "no_content"
+    # with the upstream source supplied, the same trigger compacts
+    res2 = maybe_compact(spark, d, source=src, max_segments=1,
+                         index_partitions=2)
+    assert res2.get("compacted") is True
