@@ -45,8 +45,12 @@ class _ByteLRU:
     Whole-entry eviction in least-recently-used order, budgeted by the
     entries' actual array bytes."""
 
-    def __init__(self, byte_budget: int):
+    def __init__(self, byte_budget: int, max_entries: int = 262_144):
         self.byte_budget = int(byte_budget)
+        # entry-count cap: negative-cache entries (empty arrays) have zero
+        # payload bytes, so a stream of unknown terms would otherwise grow
+        # the dict unboundedly — ~100 B/key keeps the cap at ~tens of MB
+        self.max_entries = int(max_entries)
         self._d: "OrderedDict[str, tuple]" = OrderedDict()
         self._sizes: Dict[str, int] = {}
         self.bytes = 0
@@ -85,7 +89,9 @@ class _ByteLRU:
         self._d[key] = value
         self._sizes[key] = size
         self.bytes += size
-        while self.bytes > self.byte_budget and len(self._d) > 1:
+        while (
+            self.bytes > self.byte_budget or len(self._d) > self.max_entries
+        ) and len(self._d) > 1:
             old_k, _old_v = self._d.popitem(last=False)
             self.bytes -= self._sizes.pop(old_k)
 

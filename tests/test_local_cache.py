@@ -163,3 +163,18 @@ def test_or_accumulator_matches_union(spark, fixture_index):
     order = np.lexsort((s.ids, -s.scores))[:1000]
     for i in order:
         assert got[int(s.ids[i])] == pytest.approx(float(s.scores[i]), abs=1e-9)
+
+
+def test_lru_entry_count_cap():
+    """Zero-byte (negative-cache) entries must still be bounded: the LRU
+    evicts on entry COUNT as well as bytes."""
+    import numpy as np
+
+    from lse.local_exec import _ByteLRU
+
+    lru = _ByteLRU(1 << 30, max_entries=10)
+    neg = (np.empty(0, dtype=np.int64),) * 3 + (0,)
+    for i in range(100):
+        lru.put(f"unknown{i}", neg)
+    assert len(lru) == 10
+    assert "unknown99" in lru and "unknown0" not in lru
