@@ -291,7 +291,11 @@ def video_features(
                     w, h, fps, nf = probe_y4m(data)
                     want = list(range(0, nf, every_n))
                     frames = [y for _idx, y in decode_y4m(data, want)]
-                luma = np.concatenate([f.ravel() for f in frames]).astype(np.float64)
+                luma = (
+                    np.concatenate([f.ravel() for f in frames]).astype(np.float64)
+                    if frames
+                    else np.empty(0, dtype=np.float64)
+                )  # a header-only (0-frame) stream is valid: stats are 0
                 out["id"].append(int(i))
                 out["width"].append(w)
                 out["height"].append(h)

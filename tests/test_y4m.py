@@ -110,3 +110,17 @@ def test_video_non_y4m_loud_skip(spark):
     with pytest.raises(Exception) as ei:
         video_frame_sample(df, backend="real").collect()
     assert "ValueError" in str(ei.value) or "y4m" in str(ei.value)
+
+
+def test_video_features_zero_frame_stream(spark):
+    """A header-only Y4M (zero frames) is a valid stream: stats come back
+    zeroed, the task must not fail."""
+    from lse.multimodal import video_features
+
+    header_only = b"YUV4MPEG2 W8 H6 F25:1 Ip A1:1 C420jpeg\n"
+    df = spark.createDataFrame(
+        [(1, bytearray(header_only))], "id long, payload binary"
+    )
+    row = video_features(df, backend="real").collect()[0]
+    assert row["n_frames"] == 0 and row["sampled_frames"] == 0
+    assert row["y_mean"] == 0.0 and row["y_std"] == 0.0
