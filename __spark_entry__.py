@@ -596,6 +596,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "n_tokens", "pack_id"
         )
 
+    def q_pack_sequences(spark, sf):
+        """Materialized packed sequences: per pack, docs concatenated in
+        doc_id order — the oracle re-derives the same packs with a window
+        cumsum and string_aggs the texts; sha256 of the text binds every
+        byte of the concatenation order."""
+        from lse.packing import pack_sequences
+        from lse.textops import add_token_counts
+
+        d = spark.read.parquet(os.path.join(sf, "documents.parquet")).select(
+            "doc_id", F.col("text").alias("content")
+        )
+        d = add_token_counts(d).select(
+            "doc_id", "content",
+            F.col("whitespace_tokens").cast("long").alias("n_tokens"),
+        )
+        return pack_sequences(d, budget=512, n_parts=16).select(
+            "pack_id", "n_docs", "total_tokens",
+            F.sha2(F.col("text"), 256).alias("text_sha"),
+        )
+
     def q_ngram_counts(spark, sf):
         """Corpus-wide token bigram frequency table (LM-training count
         statistic, multiplicity kept) — full DuckDB transcription."""
@@ -762,6 +782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_val_split": q_train_val_split,
         "ngram_counts": q_ngram_counts,
         "pack_ids": q_pack_ids,
+        "pack_sequences": q_pack_sequences,
         "redact_pii": q_redact_pii,
     }
 
@@ -819,6 +840,25 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                      - n_tokens) // 512)::BIGINT AS pack_id
             FROM t""",
+        "pack_sequences": """
+            WITH t AS (
+              SELECT doc_id, text,
+                     len(list_filter(regexp_split_to_array(text, '\\s+'),
+                         w -> w <> ''))::BIGINT AS n_tokens
+              FROM documents
+            ),
+            p AS (
+              SELECT doc_id, text, n_tokens,
+                     ((sum(n_tokens) OVER (ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - n_tokens) // 512)::BIGINT AS pack_id
+              FROM t
+            )
+            SELECT pack_id, count(*) AS n_docs,
+                   sum(n_tokens)::BIGINT AS total_tokens,
+                   sha256(string_agg(text, chr(10) || chr(10)
+                                     ORDER BY doc_id)) AS text_sha
+            FROM p GROUP BY pack_id""",
         "ngram_counts": """
             WITH arrs AS (
               SELECT doc_id, list_filter(

@@ -80,3 +80,37 @@ def assign_pack_ids(
         return pdf
 
     return d.groupBy("__part").applyInPandas(pack, schema)
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 2048,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    text_col: str = "content",
+    sep: str = "\n\n",
+    n_parts: int = 64,
+) -> DataFrame:
+    """Materialize the packed sequences: (pack_id, n_docs, total_tokens,
+    text) — documents concatenated in ``id_col`` order within each pack,
+    separated by ``sep`` (the step a pretraining data loader tokenizes).
+
+    Scale shape: after :func:`assign_pack_ids` the heavy work is ONE
+    groupBy(pack_id) shuffle; a pack holds ~budget tokens regardless of
+    corpus size, so no group can skew (the pack boundary is the salt)."""
+    packed = assign_pack_ids(
+        df, budget=budget, id_col=id_col, token_col=token_col, n_parts=n_parts
+    )
+    return (
+        packed.groupBy("pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(token_col).alias("total_tokens"),
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col(id_col), F.col(text_col)))
+                ).getField(text_col),
+                sep,
+            ).alias("text"),
+        )
+    )

@@ -73,3 +73,22 @@ def test_sparse_nonuniform_ids(spark):
     got = {r["doc_id"]: r["pack_id"] for r in assign_pack_ids(df, budget=100).collect()}
     want = _reference(tokens, 100)
     assert [got[i] for i in ids] == want
+
+
+def test_pack_sequences_concatenation_order(spark):
+    from lse.packing import pack_sequences
+
+    rows = [(i, f"doc{i}", 50) for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, content string, n_tokens long"
+    )
+    out = {
+        r["pack_id"]: r
+        for r in pack_sequences(df, budget=100, n_parts=3, sep="|").collect()
+    }
+    # 50-token docs, budget 100: packs of exactly 2 docs in id order
+    assert len(out) == 5
+    for p in range(5):
+        r = out[p]
+        assert r["n_docs"] == 2 and r["total_tokens"] == 100
+        assert r["text"] == f"doc{2*p}|doc{2*p+1}"
