@@ -254,3 +254,46 @@ def test_plan_memo_repeats_and_limits(spark, fixture_index):
     p1 = eng.search_result('"distributed system"', 10, mode="bucket")
     p2 = eng.search_result('"distributed system"', 10, mode="bucket")
     assert p1 == p2
+
+
+def test_concurrent_queries_one_engine(spark, fixture_index):
+    """Thread-concurrent serving on ONE engine: the AQE depth-guard, the
+    byte-budget LRUs, the plan memo, and the phrase cache must all stay
+    correct under interleaving — every thread's every result must equal
+    the single-threaded answer, and the session's AQE conf must be
+    restored afterwards."""
+    import threading
+
+    from lse.engine import SearchEngine
+
+    index_dir, docs_pdf = fixture_index
+    eng = SearchEngine(spark, index_dir)
+    eng.warm()
+    queries = [
+        "java", "java OR python", '"distributed system"', "-java",
+        "config*", "java AND programming", "lang:md", "java sort:size",
+    ]
+    expected = {q: eng.search_result(q, 10) for q in queries}
+    errors = []
+
+    def worker(seed):
+        try:
+            for i in range(6):
+                q = queries[(seed + i) % len(queries)]
+                hits, total = eng.search_result(q, 10)
+                ref_hits, ref_total = expected[q]
+                assert total == ref_total, q
+                assert [h[0] for h in hits] == [h[0] for h in ref_hits], q
+                for (_, a), (_, b) in zip(hits, ref_hits):
+                    assert abs(a - b) < 1e-9, q
+        except Exception as exc:  # surfaced below — threads must not pass silently
+            errors.append((seed, repr(exc)))
+
+    threads = [threading.Thread(target=worker, args=(s,)) for s in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errors, errors
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    spark.catalog.clearCache()  # warm() persisted tables; see phrase tests
