@@ -268,6 +268,16 @@ def test_concurrent_queries_one_engine(spark, fixture_index):
 
     index_dir, docs_pdf = fixture_index
     eng = SearchEngine(spark, index_dir)
+    # the finally-clearCache is UNCONDITIONAL: a failing assertion must not
+    # leave warm()'s persisted tables to cache-substitute into later
+    # plan-shape tests
+    try:
+        _run_concurrent_probe(spark, eng)
+    finally:
+        spark.catalog.clearCache()
+
+
+def _run_concurrent_probe(spark, eng):
     eng.warm()
     queries = [
         "java", "java OR python", '"distributed system"', "-java",
@@ -296,4 +306,3 @@ def test_concurrent_queries_one_engine(spark, fixture_index):
         t.join(timeout=300)
     assert not errors, errors
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
-    spark.catalog.clearCache()  # warm() persisted tables; see phrase tests
