@@ -278,6 +278,8 @@ def test_concurrent_queries_one_engine(spark, fixture_index):
 
 
 def _run_concurrent_probe(spark, eng):
+    import threading
+
     eng.warm()
     queries = [
         "java", "java OR python", '"distributed system"', "-java",
