@@ -183,8 +183,10 @@ class SearchEngine:
         # never a per-plan literal list, never re-pickled per closure
         self._tomb_bc = spark.sparkContext.broadcast(self.tomb_ids)
         # analyzed serving plans keyed by (tier, query shape, k) — see
-        # _memo_collect; plans only, never data
+        # _memo_collect; plans only, never data; lock: serving may be
+        # multi-threaded and LRU mutation spans several dict operations
         self._plan_memo: "OrderedDict" = OrderedDict()
+        self._plan_memo_lock = threading.Lock()
         n_docs = int(self.stats["n_docs"])
         total_tokens = int(self.stats.get("total_tokens") or 0)
         if self.tomb_ids.size:
@@ -374,14 +376,16 @@ class SearchEngine:
         N/avgdl are fixed per SearchEngine instance), so repeat query
         shapes reuse the analyzed DataFrame and pay only job execution.
         The memo holds plans, not data; 64 entries, LRU-evicted."""
-        df = self._plan_memo.get(key)
+        with self._plan_memo_lock:
+            df = self._plan_memo.get(key)
+            if df is not None:
+                self._plan_memo.move_to_end(key)
         if df is None:
-            df = builder()
-            self._plan_memo[key] = df
-            while len(self._plan_memo) > 64:
-                self._plan_memo.popitem(last=False)
-        else:
-            self._plan_memo.move_to_end(key)
+            df = builder()  # plan construction outside the lock (py4j I/O)
+            with self._plan_memo_lock:
+                self._plan_memo[key] = df
+                while len(self._plan_memo) > 64:
+                    self._plan_memo.popitem(last=False)
         with self._serving_conf():
             return df.collect()
 

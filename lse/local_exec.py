@@ -46,6 +46,8 @@ class _ByteLRU:
     entries' actual array bytes."""
 
     def __init__(self, byte_budget: int, max_entries: int = 262_144):
+        import threading
+
         self.byte_budget = int(byte_budget)
         # entry-count cap: negative-cache entries (empty arrays) have zero
         # payload bytes, so a stream of unknown terms would otherwise grow
@@ -54,6 +56,10 @@ class _ByteLRU:
         self._d: "OrderedDict[str, tuple]" = OrderedDict()
         self._sizes: Dict[str, int] = {}
         self.bytes = 0
+        # serving may be multi-threaded; get/put each span several dict +
+        # counter operations that must not interleave (entries themselves
+        # are immutable decode results, so readers holding a value are safe)
+        self._lock = threading.Lock()
 
     @staticmethod
     def _nbytes(value) -> int:
@@ -69,11 +75,12 @@ class _ByteLRU:
         return key in self._d
 
     def get(self, key: str, default=None):
-        v = self._d.get(key)
-        if v is None:
-            return default
-        self._d.move_to_end(key)
-        return v
+        with self._lock:
+            v = self._d.get(key)
+            if v is None:
+                return default
+            self._d.move_to_end(key)
+            return v
 
     def __getitem__(self, key: str):
         v = self.get(key)
@@ -82,18 +89,19 @@ class _ByteLRU:
         return v
 
     def put(self, key: str, value: tuple) -> None:
-        if key in self._d:
-            self.bytes -= self._sizes.pop(key)
-            del self._d[key]
         size = self._nbytes(value)
-        self._d[key] = value
-        self._sizes[key] = size
-        self.bytes += size
-        while (
-            self.bytes > self.byte_budget or len(self._d) > self.max_entries
-        ) and len(self._d) > 1:
-            old_k, _old_v = self._d.popitem(last=False)
-            self.bytes -= self._sizes.pop(old_k)
+        with self._lock:
+            if key in self._d:
+                self.bytes -= self._sizes.pop(key)
+                del self._d[key]
+            self._d[key] = value
+            self._sizes[key] = size
+            self.bytes += size
+            while (
+                self.bytes > self.byte_budget or len(self._d) > self.max_entries
+            ) and len(self._d) > 1:
+                old_k, _old_v = self._d.popitem(last=False)
+                self.bytes -= self._sizes.pop(old_k)
 
     def setdefault(self, key: str, value: tuple):
         if key in self._d:
@@ -193,6 +201,9 @@ class LocalExecutor:
         # decoded-array LRUs: repeat queries at multi-million-doc scale
         # serve from these without re-collecting/decoding, while the byte
         # budget keeps a long diverse query mix from growing the driver
+        import threading
+
+        self._tls = threading.local()  # per-query working state (see below)
         self._postings_cache = _ByteLRU(cache_byte_budget)
         self._prefix_cache: Dict[str, List[str]] = {}
         self._positions_cache = _ByteLRU(cache_byte_budget // 2)
@@ -455,8 +466,28 @@ class LocalExecutor:
             self._prefix_terms[p] = expansion
             self._prefix_cache[p] = expansion
 
-    _prefix_terms: Dict[str, List[str]] = None  # set in execute()
-    _query_postings: Dict[str, tuple] = None  # set in execute()
+    # Per-QUERY working state lives in thread-local storage: a SearchEngine
+    # (and its LocalExecutor) may serve queries from multiple threads, and
+    # instance attributes would let one thread's execute() reset reclaim
+    # another thread's fetched postings mid-evaluation (the concurrency
+    # test reproduces exactly that clobber). The LRUs stay shared (their
+    # entries are immutable decode results); only the query-scoped dicts
+    # are thread-local.
+    @property
+    def _query_postings(self):
+        return getattr(self._tls, "query_postings", None)
+
+    @_query_postings.setter
+    def _query_postings(self, value):
+        self._tls.query_postings = value
+
+    @property
+    def _prefix_terms(self):
+        return getattr(self._tls, "prefix_terms", None)
+
+    @_prefix_terms.setter
+    def _prefix_terms(self, value):
+        self._tls.prefix_terms = value
 
     def _positions_for(self, terms: List[str]):
         """term → flat TermPositions (doc_ids, counts, flat positions),
