@@ -119,23 +119,20 @@ class SearchEngine:
     def __init__(self, spark: SparkSession, index_dir: str):
         self.spark = spark
         self.index_dir = index_dir
-        if not os.path.isdir(index_dir):
-            # a crash between compact's two swap renames leaves the intact
-            # pre-compaction index at <index_dir>.old — roll it back
-            # (maintenance.recover_index_dir documents the protocol)
-            from .maintenance import recover_index_dir
+        # a crash between compact's two swap renames leaves the intact
+        # pre-compaction index at <index_dir>.old — roll it back; when the
+        # index is healthy this also reaps stale .old/.compacting leftovers
+        # promptly instead of waiting for the next compact
+        # (maintenance.recover_index_dir documents the protocol)
+        from .maintenance import _segments as _ms_segments
+        from .maintenance import recover_index_dir
 
-            recover_index_dir(index_dir)
-        # segments: the base index + any incremental delta segments
-        # (maintenance.apply_incremental); a doc lives in exactly one segment
-        segments = [index_dir]
-        deltas_root = os.path.join(index_dir, "deltas")
-        if os.path.isdir(deltas_root):
-            segments += [
-                os.path.join(deltas_root, d)
-                for d in sorted(os.listdir(deltas_root))
-                if not d.endswith(".diff")
-            ]
+        recover_index_dir(index_dir, reap_tmp=False)
+        # segments: the base index + active incremental delta segments per
+        # the deltas/SEGMENTS.json manifest (listdir fallback); a doc lives
+        # in exactly one segment (maintenance.apply_incremental /
+        # maintenance.merge_deltas)
+        segments = _ms_segments(index_dir)
         self.segments = segments
         self.multi_segment = len(segments) > 1
 

@@ -17,8 +17,10 @@
 
 from __future__ import annotations
 
+import json
 import os
-from typing import Iterable, Sequence
+import re
+from typing import Iterable, List, Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -27,17 +29,120 @@ DOC_KEY = ["repo", "path", "commit"]
 
 MERGE_FACTOR = 10  # reference tiered-merge trigger (config/Constants.java:30-31)
 
+# ---------------------------------------------------------------------------
+# Delta-segment manifest — the segments.gen analog (docs/PROJECT_SPEC.md:
+# 236-239). ``deltas/SEGMENTS.json`` is the single source of truth for which
+# delta segments are active and for the monotonic generation counter; it is
+# committed with an atomic ``os.replace`` so readers see either the old or
+# the new segment set, never a partial one. When the manifest is absent
+# (indexes written before it existed, or a fresh build with no deltas) the
+# directory listing is the fallback — names parse as
+# ``delta_<gen>[_L<level>]``; plain ``delta_<gen>`` is level 0.
+# ---------------------------------------------------------------------------
+
+_MANIFEST = "SEGMENTS.json"
+_NAME_RE = re.compile(r"^delta_(\d+)(?:_L(\d+))?(?:\.diff)?$")
+
+
+def _manifest_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "deltas", _MANIFEST)
+
+
+def _read_manifest(index_dir: str) -> Optional[dict]:
+    p = _manifest_path(index_dir)
+    if not os.path.exists(p):
+        return None
+    with open(p, "r", encoding="utf-8") as f:
+        return json.load(f)
+
+
+def _write_manifest(index_dir: str, manifest: dict) -> None:
+    """Atomic commit: write sibling tmp, fsync, os.replace (single syscall)."""
+    p = _manifest_path(index_dir)
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    tmp = p + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(manifest, f, indent=1)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, p)
+
+
+def _listdir_entries(index_dir: str) -> List[dict]:
+    """Fallback (no manifest): parse active delta dirs from the listing."""
+    deltas = os.path.join(index_dir, "deltas")
+    if not os.path.isdir(deltas):
+        return []
+    out = []
+    for d in sorted(os.listdir(deltas)):
+        if d.endswith((".diff", ".merging", ".tmp")) or d == _MANIFEST:
+            continue
+        m = _NAME_RE.match(d)
+        if m is None:
+            continue
+        out.append(
+            dict(name=d, gen=int(m.group(1)), level=int(m.group(2) or 0))
+        )
+    return out
+
+
+def _delta_entries(index_dir: str) -> List[dict]:
+    man = _read_manifest(index_dir)
+    if man is not None:
+        return list(man.get("active", []))
+    return _listdir_entries(index_dir)
+
+
+def _next_gen(index_dir: str) -> int:
+    """Monotonic generation counter. Generations salt delta doc ids
+    (xxhash64(key, gen)), so a gen may NEVER be reused even after the
+    segment that carried it is merged away — a reused gen would mint a new
+    doc with the same id as a (possibly tombstoned) earlier doc. The
+    manifest persists the counter; the fallback takes max(parsed gen)+1
+    across segment dirs AND .diff snapshots so pre-manifest indexes keep
+    counting from where they left off."""
+    man = _read_manifest(index_dir)
+    if man is not None:
+        return int(man["next_gen"])
+    deltas = os.path.join(index_dir, "deltas")
+    top = 0
+    if os.path.isdir(deltas):
+        for d in os.listdir(deltas):
+            m = _NAME_RE.match(d)
+            if m:
+                top = max(top, int(m.group(1)))
+    return top + 1
+
+
+def _register_delta(index_dir: str, name: str, gen: int, level: int = 0) -> None:
+    """Commit a freshly built delta segment into the manifest (creating the
+    manifest from the directory listing on first use)."""
+    man = _read_manifest(index_dir)
+    if man is None:
+        man = dict(active=_listdir_entries(index_dir), next_gen=gen)
+    active = [e for e in man.get("active", []) if e["name"] != name]
+    active.append(dict(name=name, gen=int(gen), level=int(level)))
+    _write_manifest(
+        index_dir,
+        dict(active=active, next_gen=max(int(man.get("next_gen", 1)), gen + 1)),
+    )
+
+
+def _resolve_delta_path(index_dir: str, name: str) -> str:
+    """A manifest entry whose final rename hasn't landed yet (crash or racing
+    reader between the manifest commit and the ``.merging`` → final rename)
+    still resolves: the ``.merging`` directory holds the complete build."""
+    p = os.path.join(index_dir, "deltas", name)
+    if not os.path.isdir(p) and os.path.isdir(p + ".merging"):
+        return p + ".merging"
+    return p
+
 
 def _segments(index_dir: str):
-    segs = [index_dir]
-    deltas = os.path.join(index_dir, "deltas")
-    if os.path.isdir(deltas):
-        segs += [
-            os.path.join(deltas, d)
-            for d in sorted(os.listdir(deltas))
-            if not d.endswith(".diff")
-        ]
-    return segs
+    return [index_dir] + [
+        _resolve_delta_path(index_dir, e["name"])
+        for e in sorted(_delta_entries(index_dir), key=lambda e: e["gen"])
+    ]
 
 
 def _all_docs(spark: SparkSession, index_dir: str) -> DataFrame:
@@ -83,9 +188,15 @@ def index_status(spark: SparkSession, index_dir: str) -> dict:
     n_tomb = (
         spark.read.parquet(tomb_dir).count() if os.path.exists(tomb_dir) else 0
     )
+    # live count via the anti-join, not doc_count - n_tomb: leveled delta
+    # merges drop tombstoned docs from the merged segment while their
+    # tombstone rows remain (harmless no-ops), so subtraction undercounts
+    live_count = (
+        _all_docs(spark, index_dir).count() if n_tomb else doc_count
+    )
     return dict(
         doc_count=doc_count,
-        live_doc_count=doc_count - n_tomb,
+        live_doc_count=live_count,
         tombstones=n_tomb,
         term_count=int(agg["term_count"]),
         posting_rows=int(agg["posting_rows"]),
@@ -141,18 +252,17 @@ def apply_incremental(
        ids) under ``index_dir/deltas/delta_<gen>``;
     4. SearchEngine unions base + delta segments at load and recomputes live
        N/avgdl/df — queries then see exactly the new logical corpus;
-    5. when the segment count reaches ``auto_compact_segments`` (reference
-       MERGE_FACTOR), :func:`maybe_compact` merges everything back to one
-       segment (pass ``None``/0 to disable).
+    5. when ``auto_compact_segments`` (reference MERGE_FACTOR) same-level
+       delta segments accrete, :func:`maybe_merge_deltas` merges ONLY those
+       deltas into one next-level delta segment — the base index is never
+       rewritten by the automatic trigger (pass ``None``/0 to disable; run
+       :func:`compact` explicitly for a full single-segment rebuild).
     """
     from .build import build_index
 
     deltas_root = os.path.join(index_dir, "deltas")
-    gen = 1
-    if os.path.exists(deltas_root):
-        gen = (
-            len([d for d in os.listdir(deltas_root) if not d.endswith(".diff")]) + 1
-        )
+    recover_deltas(index_dir)
+    gen = _next_gen(index_dir)
     # SNAPSHOT the diff before mutating anything it reads: tombstoning
     # changes _all_docs, and a lazily (re)computed diff would then see its
     # own effects and vanish. The parquet snapshot is also the crash-safe
@@ -195,28 +305,36 @@ def apply_incremental(
         )
         opts.update(build_opts)
         build_index(spark, fresh, delta_dir, **opts)
+        _register_delta(index_dir, os.path.basename(delta_dir), gen)
     ops = {r["op"]: r["n"] for r in diff.groupBy("op").agg(F.count("*").alias("n")).collect()}
-    comp = maybe_compact(
-        spark, index_dir, source=new_source,
-        max_segments=auto_compact_segments, **build_opts,
+    comp = maybe_merge_deltas(
+        spark, index_dir, factor=auto_compact_segments, **build_opts
     )
+    if delta_dir is not None and comp.get("merged") and not os.path.isdir(delta_dir):
+        # the just-built delta was merged away in the same call — never hand
+        # the caller a path that no longer exists
+        delta_dir = None
     return dict(
         tombstoned=n_tombstoned,
         delta_docs=int(n_fresh),
         delta_dir=delta_dir,
         ops=ops,
-        compacted=bool(comp.get("compacted")),
+        merged=bool(comp.get("merged")),
+        compacted=False,
         segments=int(comp.get("segments", 0)),
     )
 
 
-def recover_index_dir(index_dir: str) -> str:
+def recover_index_dir(index_dir: str, reap_tmp: bool = True) -> str:
     """Roll back a compaction swap interrupted between its two renames.
 
     States and actions (see :func:`compact` swap protocol):
     * ``index_dir`` present            → healthy; drop any stale ``.old`` /
       ``.compacting`` leftovers (a completed swap's cleanup, or an
-      abandoned build) and return "ok".
+      abandoned build) and return "ok". ``reap_tmp=False`` (the
+      SearchEngine read path) leaves ``.compacting`` alone — a reader must
+      not delete a concurrent writer's in-flight compact build; stale tmp
+      dirs are reaped by the next writer-side compact instead.
     * ``index_dir`` missing, ``.old`` present → crashed mid-swap; restore
       ``.old`` → ``index_dir`` (the complete pre-compaction index) and
       return "restored_old".
@@ -229,13 +347,201 @@ def recover_index_dir(index_dir: str) -> str:
     tmp = base + ".compacting"
     if os.path.isdir(base):
         shutil.rmtree(old, ignore_errors=True)
-        shutil.rmtree(tmp, ignore_errors=True)
+        if reap_tmp:
+            shutil.rmtree(tmp, ignore_errors=True)
         return "ok"
     if os.path.isdir(old):
         os.rename(old, base)
         shutil.rmtree(tmp, ignore_errors=True)
         return "restored_old"
     return "missing"
+
+
+def recover_deltas(index_dir: str) -> dict:
+    """WRITER-side recovery for the leveled delta-merge protocol. Called on
+    entry to every mutating operation (apply_incremental, upsert_batch,
+    merge_deltas) — never from the read path, because a racing reader must
+    not reap a writer's in-flight ``.merging`` build or a fresh delta that
+    hasn't been registered yet (single-writer assumption, as the reference's
+    IndexWriter lock implies, docs/PROJECT_SPEC.md:236-239).
+
+    * a manifest entry whose final dir is missing but whose ``.merging``
+      build exists → finish the rename (crash between manifest commit and
+      rename);
+    * delta dirs (final-named or ``.merging``) NOT referenced by the
+      manifest → reap (crash after manifest commit but before source-dir
+      deletion, or an abandoned merge build). Only runs when a manifest
+      exists: in listdir-fallback mode every dir is authoritative.
+    """
+    import shutil
+
+    man = _read_manifest(index_dir)
+    if man is None:
+        return dict(renamed=0, reaped=0)
+    deltas = os.path.join(index_dir, "deltas")
+    active = {e["name"] for e in man.get("active", [])}
+    renamed = reaped = 0
+    for name in active:
+        final = os.path.join(deltas, name)
+        merging = final + ".merging"
+        if not os.path.isdir(final) and os.path.isdir(merging):
+            os.rename(merging, final)
+            renamed += 1
+    if os.path.isdir(deltas):
+        for d in os.listdir(deltas):
+            if d == _MANIFEST or d.endswith(".diff"):
+                continue
+            base = d[: -len(".merging")] if d.endswith(".merging") else d
+            if base not in active:
+                shutil.rmtree(os.path.join(deltas, d), ignore_errors=True)
+                reaped += 1
+    return dict(renamed=renamed, reaped=reaped)
+
+
+def merge_deltas(
+    spark: SparkSession,
+    index_dir: str,
+    entries: Sequence[dict],
+    **build_opts,
+) -> dict:
+    """Merge the given delta segments into ONE next-level delta segment —
+    the reference's tiered merge (config/Constants.java:30-31,
+    docs/PROJECT_SPEC.md:384-398): ≥MERGE_FACTOR same-level segments fold
+    into a single level+1 segment, so each indexed byte is rewritten
+    O(log N) times over the index's life and the BASE index is never
+    touched. Doc ids are kept (precomputed), tombstoned docs are dropped
+    from the merged segment (their tombstone rows stay — a tombstone whose
+    doc is absent is a no-op for the anti-join), and the new segment is a
+    normal build_index segment, so block maxima / dictionary stats hold.
+
+    Commit protocol (crash-safe via the SEGMENTS.json manifest):
+      1. build completely into ``deltas/<new>.merging``;
+      2. atomically replace the manifest (sources out, merged in) —
+         THE commit point; readers resolve a still-``.merging`` name via
+         :func:`_resolve_delta_path`;
+      3. rename ``.merging`` → final;
+      4. delete source dirs. A crash at any point is healed by
+         :func:`recover_deltas` on the next writer entry.
+    """
+    import shutil
+
+    from .build import build_index
+
+    entries = sorted(entries, key=lambda e: e["gen"])
+    names = [e["name"] for e in entries]
+    level = max(int(e.get("level", 0)) for e in entries) + 1
+    gen = max(int(e["gen"]) for e in entries)
+    deltas_root = os.path.join(index_dir, "deltas")
+    new_name = f"delta_{gen:04d}_L{level}"
+    seg_dirs = [os.path.join(deltas_root, n) for n in names]
+
+    docs = None
+    for s in seg_dirs:
+        d = spark.read.parquet(os.path.join(s, "docs"))
+        docs = d if docs is None else docs.unionByName(d, allowMissingColumns=True)
+    if "content" not in docs.columns:
+        raise ValueError(
+            "merge_deltas: delta segments were built without store_content — "
+            "leveled merge needs the stored content to re-encode postings"
+        )
+    tomb_dir = os.path.join(index_dir, "tombstones")
+    if os.path.exists(tomb_dir):
+        tombs = spark.read.parquet(tomb_dir).select("doc_id").distinct()
+        docs = docs.join(tombs, "doc_id", "left_anti")
+    src = docs.select(
+        "doc_id", *DOC_KEY, "lang", "content",
+        *(["mtime"] if "mtime" in docs.columns else []),
+    )
+    n_live = src.count()
+
+    man = _read_manifest(index_dir)
+    if man is None:  # first merge on a pre-manifest index: import the listing
+        man = dict(active=_listdir_entries(index_dir), next_gen=_next_gen(index_dir))
+    survivors = [e for e in man["active"] if e["name"] not in set(names)]
+
+    if n_live == 0:
+        # every doc in these deltas is dead — drop them without a new segment
+        _write_manifest(index_dir, dict(active=survivors, next_gen=man["next_gen"]))
+        for s in seg_dirs:
+            shutil.rmtree(s, ignore_errors=True)
+        return dict(
+            merged=True, new_segment=None, level=level,
+            sources=names, live_docs=0,
+        )
+
+    stats = spark.read.parquet(os.path.join(index_dir, "stats")).first()
+    merging = os.path.join(deltas_root, new_name + ".merging")
+    shutil.rmtree(merging, ignore_errors=True)
+    opts = dict(
+        precomputed_doc_id=True,
+        n_buckets=int(stats["n_buckets"]),
+        enable_stopwords=bool(stats["enable_stopwords"]),
+        with_positions=bool(stats["with_positions"]),
+        store_content=True,
+        resume=False,
+    )
+    opts.update(build_opts)
+    build_index(spark, src, merging, **opts)
+
+    survivors.append(dict(name=new_name, gen=gen, level=level))
+    _write_manifest(index_dir, dict(active=survivors, next_gen=man["next_gen"]))
+    os.rename(merging, os.path.join(deltas_root, new_name))
+    for s in seg_dirs:
+        shutil.rmtree(s, ignore_errors=True)
+    return dict(
+        merged=True, new_segment=new_name, level=level,
+        sources=names, live_docs=int(n_live),
+    )
+
+
+def maybe_merge_deltas(
+    spark: SparkSession,
+    index_dir: str,
+    factor: int = MERGE_FACTOR,
+    **build_opts,
+) -> dict:
+    """Leveled auto-merge trigger (reference tiered policy): whenever any
+    level holds ≥ ``factor`` delta segments, merge that level's segments
+    into one level+1 segment; cascade until no level meets the threshold.
+    Write amplification is O(log_factor N) per byte — the base index is
+    never rewritten here (explicit :func:`compact` does that, reclaiming
+    base tombstones too). Content-less delta segments can't re-encode, so
+    the trigger declines with ``reason='no_content'`` rather than failing
+    the ingest."""
+    if factor is None or factor <= 0:
+        return dict(
+            merged=False, segments=len(_segments(index_dir)), reason="disabled"
+        )
+    recover_deltas(index_dir)
+    merges = []
+    while True:
+        entries = _delta_entries(index_dir)
+        by_level: dict = {}
+        for e in entries:
+            by_level.setdefault(int(e.get("level", 0)), []).append(e)
+        level = next(
+            (lv for lv in sorted(by_level) if len(by_level[lv]) >= factor), None
+        )
+        if level is None:
+            break
+        group = by_level[level]
+        docs_cols = spark.read.parquet(
+            os.path.join(
+                _resolve_delta_path(index_dir, group[0]["name"]), "docs"
+            )
+        ).columns
+        if "content" not in docs_cols:
+            return dict(
+                merged=bool(merges), merges=merges,
+                segments=len(_segments(index_dir)), reason="no_content",
+            )
+        merges.append(merge_deltas(spark, index_dir, group, **build_opts))
+    return dict(
+        merged=bool(merges),
+        merges=merges,
+        segments=len(_segments(index_dir)),
+        reason="below_threshold" if not merges else "merged",
+    )
 
 
 def compact(
@@ -261,12 +567,15 @@ def compact(
     ``.compacting`` → ``index_dir``, then delete ``.old``. A crash between
     the two renames leaves ``.old`` holding the complete pre-compaction
     index with ``index_dir`` absent; :func:`recover_index_dir` (called on
-    compact entry and on SearchEngine load) rolls that window back, so no
-    crash point loses the index. Readers that opened the old snapshot
-    before the swap keep serving it coherently (parquet files are
-    immutable); a reader racing the rename window itself must retry via
-    recover — the analog of the reference's segments.gen re-read
-    (docs/PROJECT_SPEC.md:236-239).
+    compact entry and on every SearchEngine load) rolls that window back,
+    so no crash point loses the index. Only a WARMED reader (tables pinned
+    in the block manager via ``engine.warm()``, as
+    test_warm_reader_serves_across_compact_swap exercises) keeps serving
+    the pre-swap snapshot coherently — the final step deletes ``.old``, so
+    an unwarmed engine opened before the swap hits FileNotFound on its
+    next scan and must reload; a reader racing the rename window itself
+    must retry via recover — the analog of the reference's segments.gen
+    re-read (docs/PROJECT_SPEC.md:236-239).
     """
     import shutil
 
@@ -323,14 +632,13 @@ def maybe_compact(
     max_segments: int = MERGE_FACTOR,
     **build_opts,
 ) -> dict:
-    """Auto-compaction trigger — the operational analog of the reference's
-    tiered merge policy (MERGE_FACTOR=10 same-level segments → merge,
-    config/Constants.java:30-31; docs/PROJECT_SPEC.md:384-398): when the
-    segment count (base + deltas) reaches ``max_segments``, run
-    :func:`compact`; otherwise no-op. Called automatically by
-    ``apply_incremental`` and ``streaming.upsert_batch`` so a long-running
-    streaming index never accretes unbounded delta segments (and the
-    per-query multi-segment overhead they carry) waiting for an operator.
+    """FULL-compaction trigger: when the segment count (base + deltas)
+    reaches ``max_segments``, run :func:`compact` — a complete
+    single-segment rebuild that also reclaims tombstoned base docs. Since
+    round 5 this is an EXPLICIT operator tool only; the automatic trigger
+    inside ``apply_incremental`` / ``streaming.upsert_batch`` is
+    :func:`maybe_merge_deltas` (the reference's leveled policy), which
+    rewrites only delta bytes and never the base.
 
     Content-less indexes (built with ``store_content=False``) need the
     upstream ``source`` to rebuild; when neither is available the trigger

@@ -51,18 +51,25 @@ def upsert_batch(
     * changed keys tombstone their old doc ids;
     * new + changed rows build delta segment ``deltas/delta_<gen>`` with
       generation-salted hash ids (collision-free vs live ids);
-    * when the segment count reaches ``auto_compact_segments``
-      (default: maintenance.MERGE_FACTOR, the reference's tiered-merge
-      trigger), everything merges back to one segment — a long-running
-      stream stays fast without operator intervention. Compaction keeps
-      doc ids, so replay idempotence (sha skip) is unaffected. Pass 0 to
-      disable.
+    * when ``auto_compact_segments`` (default: maintenance.MERGE_FACTOR,
+      the reference's tiered-merge trigger) SAME-LEVEL delta segments
+      accrete, maintenance.maybe_merge_deltas folds them into one
+      next-level delta — write amplification O(log N) per byte and the
+      BASE index is never rewritten by the stream; run maintenance.compact
+      explicitly for a full single-segment rebuild. Merges keep doc ids,
+      so replay idempotence (sha skip) is unaffected. Pass 0 to disable.
 
     Returns dict(tombstoned=…, delta_docs=…, delta_dir=…, skipped=…,
-    compacted=…).
+    merged=…, segments=…).
     """
     from .build import build_index
-    from .maintenance import MERGE_FACTOR, maybe_compact
+    from .maintenance import (
+        MERGE_FACTOR,
+        _next_gen,
+        _register_delta,
+        maybe_merge_deltas,
+        recover_deltas,
+    )
 
     if auto_compact_segments is None:
         auto_compact_segments = MERGE_FACTOR
@@ -74,12 +81,8 @@ def upsert_batch(
         batch = batch.drop("doc_id")
 
     deltas_root = os.path.join(index_dir, "deltas")
-    gen = 1
-    if os.path.exists(deltas_root):
-        gen = (
-            len([d for d in os.listdir(deltas_root) if not d.endswith(".diff")])
-            + 1
-        )
+    recover_deltas(index_dir)
+    gen = _next_gen(index_dir)
     batch = (
         batch.withColumn("__sha", F.sha2(F.col("content"), 256))
         .withColumn(
@@ -127,15 +130,19 @@ def upsert_batch(
         )
         opts.update(build_opts)
         build_index(spark, fresh, delta_dir, **opts)
-    comp = maybe_compact(
-        spark, index_dir, max_segments=auto_compact_segments, **build_opts
+        _register_delta(index_dir, os.path.basename(delta_dir), gen)
+    comp = maybe_merge_deltas(
+        spark, index_dir, factor=auto_compact_segments, **build_opts
     )
+    if delta_dir is not None and comp.get("merged") and not os.path.isdir(delta_dir):
+        delta_dir = None  # merged away in this same call — path is gone
     return dict(
         tombstoned=n_tomb,
         delta_docs=int(n_fresh),
         delta_dir=delta_dir,
         skipped=int(n_skipped),
-        compacted=bool(comp.get("compacted")),
+        merged=bool(comp.get("merged")),
+        compacted=False,
         segments=int(comp.get("segments", 0)),
     )
 

@@ -137,12 +137,13 @@ def test_upsert_dedupes_batch_keys(spark, tmp_path):
     assert total == 1
 
 
-def test_auto_compaction_trigger(spark, tmp_path):
-    """Reference tiered-merge policy (MERGE_FACTOR=10 segments -> merge,
-    config/Constants.java:30-31): driving >10 micro-batches through
-    upsert_batch must fire exactly one auto-compaction at the threshold,
-    collapse the index back to one segment, and leave every query result
-    identical to a batch build over the same corpus."""
+def test_leveled_auto_merge_trigger(spark, tmp_path):
+    """Reference tiered-merge policy (MERGE_FACTOR=10 SAME-LEVEL segments ->
+    one level+1 segment, config/Constants.java:30-31,
+    docs/PROJECT_SPEC.md:384-398): driving >10 micro-batches through
+    upsert_batch must fire leveled delta merges at the threshold, NEVER
+    rewrite the base index, keep the segment count bounded, and leave every
+    query result identical to a batch build over the same corpus."""
     src = make_repos_df(spark, n_docs=130, partitions=2).select(
         "repo", "path", "commit", "lang", "content"
     )
@@ -152,32 +153,64 @@ def test_auto_compaction_trigger(spark, tmp_path):
         spark, spark.createDataFrame(rows[:10], SCHEMA), index_dir,
         n_buckets=4, index_partitions=4,
     )
-    compactions = []
+
+    def base_files():
+        """(path, mtime_ns, size) of every BASE parquet file (deltas and
+        tombstones excluded) — leveled merges must leave all of it alone."""
+        out = {}
+        for root, dirs, files in os.walk(index_dir):
+            rel = os.path.relpath(root, index_dir)
+            if rel.split(os.sep)[0] in ("deltas", "tombstones"):
+                continue
+            for f in files:
+                p = os.path.join(root, f)
+                st = os.stat(p)
+                out[p] = (st.st_mtime_ns, st.st_size)
+        return out
+
+    base_before = base_files()
+    merges = []
     seg_counts = []
-    from lse.maintenance import _segments
+    from lse.maintenance import _delta_entries, _segments
 
     for i in range(10, 130, 10):  # 12 further micro-batches
         batch = spark.createDataFrame(rows[i : i + 10], SCHEMA)
         res = upsert_batch(
             spark, index_dir, batch, n_buckets=4, index_partitions=4
         )
-        if res["compacted"]:
-            compactions.append(res)
+        assert res["compacted"] is False  # auto path never full-compacts
+        if res["merged"]:
+            merges.append(res)
         seg_counts.append(len(_segments(index_dir)))
-    assert len(compactions) == 1, seg_counts
-    # the merge fired exactly at the threshold and reset to one segment
-    assert max(seg_counts) <= 10
-    assert 1 in seg_counts
-    # parity: the streamed+compacted index equals a fresh batch build
+    # deltas merged at the threshold: 12 L0 deltas -> one L1 merge at #10,
+    # leaving bounded segment counts throughout (never the naive 13)
+    assert len(merges) >= 1, seg_counts
+    assert max(seg_counts) <= 11, seg_counts
+    levels = {e["level"] for e in _delta_entries(index_dir)}
+    assert 1 in levels, _delta_entries(index_dir)
+    # THE leveled-merge guarantee: every base parquet byte untouched
+    assert base_files() == base_before
+    # parity: the streamed+merged index equals a fresh batch build
     batch_dir = str(tmp_path / "batch_idx")
     build_index(spark, src, batch_dir, n_buckets=4, index_partitions=4)
     _queries_equal(
         spark, index_dir, batch_dir,
         ["spark", "java OR python", '"distributed system"', "-spark"],
     )
-    # replay idempotence survives compaction (doc ids are kept)
+    # replay idempotence survives the merge (doc ids are kept)
     replay = upsert_batch(
         spark, index_dir, spark.createDataFrame(rows[50:60], SCHEMA),
         n_buckets=4, index_partitions=4,
     )
     assert replay["skipped"] == 10 and replay["delta_docs"] == 0
+    # an explicit compact still collapses everything to one segment with
+    # identical results
+    from lse.maintenance import compact
+
+    res = compact(spark, index_dir)
+    assert res["compacted"]
+    assert len(_segments(index_dir)) == 1
+    _queries_equal(
+        spark, index_dir, batch_dir,
+        ["spark", "java OR python", '"distributed system"', "-spark"],
+    )
