@@ -452,6 +452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
     def q_image_features(spark, sf):  # golden-fixture oracle (oracle_ops)
+        _require_goldens(sf)
         from lse.multimodal import image_features
 
         d = spark.read.parquet(os.path.join(sf, "documents.parquet")).select(
@@ -499,6 +500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_minhash_pairs(spark, sf):  # golden-fixture oracle (oracle_ops)
+        _require_goldens(sf)
         from lse.dedup import minhash_candidate_pairs, minhash_signatures
 
         d = spark.read.parquet(os.path.join(sf, "documents.parquet")).select(
@@ -510,6 +512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_simhash(spark, sf):  # golden-fixture oracle (oracle_ops)
+        _require_goldens(sf)
         from lse.dedup import simhash64
 
         d = spark.read.parquet(os.path.join(sf, "documents.parquet")).select(
@@ -518,6 +521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return simhash64(d)
 
     def q_fingerprints(spark, sf):  # golden-fixture oracle (oracle_ops)
+        _require_goldens(sf)
         from lse.textops import fingerprints
 
         d = spark.read.parquet(os.path.join(sf, "documents.parquet")).select(
@@ -528,6 +532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_ann_lsh(spark, sf):  # golden-fixture oracle (oracle_ops)
+        _require_goldens(sf)
         from lse.similarity import cosine_topk_lsh, hyperplane_signature
 
         e = spark.read.parquet(os.path.join(sf, "embeddings.parquet"))
@@ -553,6 +558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_audio_features(spark, sf):  # golden-fixture oracle (oracle_ops)
+        _require_goldens(sf)
         from lse.multimodal import audio_features
 
         d = spark.read.parquet(os.path.join(sf, "documents.parquet")).select(
@@ -564,6 +570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_ann_ivf(spark, sf):  # golden-fixture oracle (oracle_ops)
+        _require_goldens(sf)
         from lse.similarity import (
             cosine_topk_ivf, ivf_assign, train_ivf_centroids,
         )
@@ -659,6 +666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return redact_pii(d).select("doc_id", "redacted")
 
     def q_video_features(spark, sf):  # golden-fixture oracle (oracle_ops)
+        _require_goldens(sf)
         """Real Y4M decode end-to-end: deterministic synthetic frames
         (pure function of doc_id — lse.oracle_ops.synthetic_video_frames)
         are packed to YUV4MPEG2 bytes executor-side, then
@@ -769,7 +777,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "lang_id": q_lang_id,
         "token_counts": q_token_counts,
-        # rows-only entries (non-SQL-expressible internals)
+        # golden-fixture oracle entries (independent driver-side replicas
+        # persisted under goldens/<sf>; see _golden_sql)
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
         "fingerprints": q_fingerprints,
@@ -795,6 +804,33 @@ def _golden_dir() -> str:
     the default; LSE_GOLDEN_SF lets the pytest suite exercise the same
     oracle lane at sf0.001."""
     return os.path.join(_GOLDEN_ROOT, os.environ.get("LSE_GOLDEN_SF", "sf0.01"))
+
+
+def _require_goldens(sf_dir: str) -> None:
+    """Guard for golden-backed queries: the oracle SQL reads fixed
+    per-sf fixtures, so running the Spark side at an sf whose goldens don't
+    exist would silently compare against the wrong scale's expectations.
+    Fail LOUDLY instead. LSE_GOLDEN_SF overrides the sf derived from the
+    data directory (the pytest suite uses it to run the lane at sf0.001)."""
+    derived = os.path.basename(os.path.normpath(sf_dir))
+    sf_name = os.environ.get("LSE_GOLDEN_SF") or derived
+    d = os.path.join(_GOLDEN_ROOT, sf_name)
+    if not os.path.isdir(d):
+        raise RuntimeError(
+            f"golden fixtures for {sf_name!r} not found under {_GOLDEN_ROOT} "
+            f"(query ran against {sf_dir}) — generate them with "
+            "scripts/make_goldens.py or set LSE_GOLDEN_SF to an existing "
+            "golden scale; refusing to compare against another sf's goldens"
+        )
+    # oracle_sql() is static and resolves _golden_dir() at its own call time;
+    # if the env var isn't steering both sides to the same scale, the compare
+    # would cross scales even though goldens exist for each — refuse that too
+    if not os.environ.get("LSE_GOLDEN_SF") and derived != "sf0.01":
+        raise RuntimeError(
+            f"query runs at {derived} but oracle_sql() defaults to the "
+            f"sf0.01 goldens — set LSE_GOLDEN_SF={derived} so both sides "
+            "resolve the same golden scale"
+        )
 
 
 def _golden_sql(name: str, cols: str) -> str:

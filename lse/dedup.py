@@ -177,15 +177,38 @@ def minhash_signatures(
 
 
 def minhash_candidate_pairs(
-    sigs: DataFrame, bands: int = 16, threshold: float = 0.7
+    sigs: DataFrame,
+    bands: int = 16,
+    threshold: float = 0.7,
+    max_bucket_size: int = 5000,
+    stats_out: Optional[dict] = None,
 ) -> DataFrame:
     """LSH banding: (doc_a, doc_b, est_jaccard) for candidates whose whole
-    band matches in >=1 band, verified by signature agreement fraction."""
+    band matches in >=1 band, verified by signature agreement fraction.
+
+    Scale guards (both matter at 100 TB):
+
+    * **Payload trim** — the band self-join carries only (doc_id, band, bh);
+      full signatures rejoin ONCE per side after pair dedup, so the band
+      exchange doesn't ship ``num_hashes`` longs per row twice.
+    * **Bucket cap** — a (band, bh) bucket of n docs yields C(n, 2) join
+      pairs; a near-identical boilerplate cluster of 10^5 docs (guaranteed
+      in a web-scale code corpus — exact dedup only removes byte-identical
+      copies) would put ~5×10^9 pairs in ONE bucket. Buckets larger than
+      ``max_bucket_size`` switch from all-pairs to STAR pairs: every member
+      pairs with the bucket's representative (min doc_id), O(n) pairs,
+      preserving exactly the connectivity a connected-components /
+      keep-one-per-cluster dedup needs. Star pairs still pass the same
+      signature-agreement verify, so no unverified pair is emitted. NOT a
+      silent cap: pass ``stats_out={}`` to get
+      {capped_buckets, largest_bucket, star_pairs, allpairs_avoided}
+      (costs one extra count job) — pinned by
+      tests/test_quality_gates.py::test_minhash_bucket_cap_bounded.
+    """
     num_hashes = len(sigs.select("sig").first()["sig"])
     rows_per_band = num_hashes // bands
     banded = sigs.select(
         "doc_id",
-        "sig",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -203,19 +226,53 @@ def minhash_candidate_pairs(
                 ),
             )
         ).alias("bk"),
-    ).select("doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
-    cands = (
-        banded.alias("a")
-        .join(banded.alias("b"), ["band", "bh"])
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    # one shuffle computes bucket size + representative alongside the rows
+    w = Window.partitionBy("band", "bh")
+    banded = banded.withColumn("bn", F.count("*").over(w)).withColumn(
+        "rep", F.min("doc_id").over(w)
+    )
+    small = banded.filter(F.col("bn") <= max_bucket_size).select(
+        "doc_id", "band", "bh"
+    )
+    big = banded.filter(F.col("bn") > max_bucket_size)
+    if stats_out is not None:
+        agg = (
+            big.groupBy("band", "bh").agg(F.max("bn").alias("n"))
+            .agg(
+                F.count("*").alias("capped_buckets"),
+                F.max("n").alias("largest_bucket"),
+                F.sum(F.col("n") - 1).alias("star_pairs"),
+                F.sum(F.col("n") * (F.col("n") - 1) / 2 - (F.col("n") - 1)).alias(
+                    "allpairs_avoided"
+                ),
+            )
+            .first()
+        )
+        stats_out.update(
+            capped_buckets=int(agg["capped_buckets"] or 0),
+            largest_bucket=int(agg["largest_bucket"] or 0),
+            star_pairs=int(agg["star_pairs"] or 0),
+            allpairs_avoided=int(agg["allpairs_avoided"] or 0),
+        )
+    pairs_small = (
+        small.alias("a")
+        .join(small.alias("b"), ["band", "bh"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .dropDuplicates(["doc_a", "doc_b"])
     )
+    pairs_star = big.filter(F.col("doc_id") != F.col("rep")).select(
+        F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b")
+    )
+    cands = pairs_small.unionByName(pairs_star).dropDuplicates(
+        ["doc_a", "doc_b"]
+    )
+    # signatures rejoin once per side, AFTER pair dedup
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    cands = cands.join(sa, "doc_a").join(sb, "doc_b")
     est = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
         F.lit(0),
@@ -349,9 +406,17 @@ def embedding_near_dups(
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int = 5000,
 ) -> DataFrame:
     """Cosine near-duplicate pairs via random-hyperplane LSH buckets + exact
-    cosine verification inside each bucket."""
+    cosine verification inside each bucket.
+
+    Same bucket guard as :func:`minhash_candidate_pairs`: an LSH bucket
+    holding a mega-cluster of near-identical embeddings would go quadratic
+    in the self-join, so buckets larger than ``max_bucket_size`` emit STAR
+    pairs against the bucket representative (min id) instead of all-pairs —
+    O(n) pairs, connectivity preserved for keep-one-per-cluster dedup, and
+    every emitted pair still passes the exact cosine verify."""
     dim = len(emb.select(vec_col).first()[vec_col])
     rng = np.random.default_rng(seed)
     hyper = rng.standard_normal((planes, dim))
@@ -380,23 +445,42 @@ def embedding_near_dups(
             for p in range(planes)
         ],
     )
-    bucketed = normed.withColumn("bucket", sig)
-    pairs = (
-        bucketed.alias("a")
-        .join(bucketed.alias("b"), "bucket")
-        .filter(F.col("a.vid") < F.col("b.vid"))
+    w = Window.partitionBy("bucket")
+    bucketed = (
+        normed.withColumn("bucket", sig)
+        .withColumn("bn", F.count("*").over(w))
+        .withColumn("rep", F.min("vid").over(w))
     )
+    small = bucketed.filter(F.col("bn") <= max_bucket_size)
+    big = bucketed.filter(F.col("bn") > max_bucket_size)
+    pairs_small = (
+        small.alias("a")
+        .join(small.alias("b"), "bucket")
+        .filter(F.col("a.vid") < F.col("b.vid"))
+        .select(
+            F.col("a.vid").alias("id_a"),
+            F.col("b.vid").alias("id_b"),
+            F.col("a.nv").alias("nv_a"),
+            F.col("b.nv").alias("nv_b"),
+        )
+    )
+    reps = big.filter(F.col("vid") == F.col("rep")).select(
+        "bucket", F.col("vid").alias("id_a"), F.col("nv").alias("nv_a")
+    )
+    pairs_star = (
+        big.filter(F.col("vid") != F.col("rep"))
+        .select("bucket", F.col("vid").alias("id_b"), F.col("nv").alias("nv_b"))
+        .join(reps, "bucket")
+        .select("id_a", "id_b", "nv_a", "nv_b")
+    )
+    pairs = pairs_small.unionByName(pairs_star)
     cos = F.aggregate(
-        F.zip_with(F.col("a.nv"), F.col("b.nv"), lambda x, y: x * y),
+        F.zip_with(F.col("nv_a"), F.col("nv_b"), lambda x, y: x * y),
         F.lit(0.0),
         lambda s, x: s + x,
     )
     return (
-        pairs.select(
-            F.col("a.vid").alias("id_a"),
-            F.col("b.vid").alias("id_b"),
-            cos.alias("cosine"),
-        )
+        pairs.select("id_a", "id_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
         .dropDuplicates(["id_a", "id_b"])
     )

@@ -787,9 +787,12 @@ class SearchEngine:
             lambda a, b: a.join(b, "doc_id", "inner"),
             [self.compile(f).select("doc_id") for f in filters],
         )
-        fpdf = fdf.limit(2_000_001).toPandas()
-        if len(fpdf) > 2_000_000:
+        # two-tier probe: the cap check is a COUNT (no driver transfer), so
+        # an over-cap filter set never materializes >16 MB on the driver —
+        # only a passing set (≤2M ids ≈ 16 MB) is collected
+        if fdf.limit(2_000_001).count() > 2_000_000:
             return None, False
+        fpdf = fdf.toPandas()
         return np.sort(fpdf["doc_id"].to_numpy(dtype=np.int64)), True
 
     def _broadcast_filter_ids(self, fid: Optional[np.ndarray]):

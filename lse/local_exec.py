@@ -91,23 +91,32 @@ class _ByteLRU:
     def put(self, key: str, value: tuple) -> None:
         size = self._nbytes(value)
         with self._lock:
-            if key in self._d:
-                self.bytes -= self._sizes.pop(key)
-                del self._d[key]
-            self._d[key] = value
-            self._sizes[key] = size
-            self.bytes += size
-            while (
-                self.bytes > self.byte_budget or len(self._d) > self.max_entries
-            ) and len(self._d) > 1:
-                old_k, _old_v = self._d.popitem(last=False)
-                self.bytes -= self._sizes.pop(old_k)
+            self._put_locked(key, value, size)
+
+    def _put_locked(self, key: str, value: tuple, size: int) -> None:
+        if key in self._d:
+            self.bytes -= self._sizes.pop(key)
+            del self._d[key]
+        self._d[key] = value
+        self._sizes[key] = size
+        self.bytes += size
+        while (
+            self.bytes > self.byte_budget or len(self._d) > self.max_entries
+        ) and len(self._d) > 1:
+            old_k, _old_v = self._d.popitem(last=False)
+            self.bytes -= self._sizes.pop(old_k)
 
     def setdefault(self, key: str, value: tuple):
-        if key in self._d:
-            return self.get(key)
-        self.put(key, value)
-        return value
+        # one critical section — a check-then-act across two lock
+        # acquisitions would reintroduce the race the lock exists to fix
+        size = self._nbytes(value)  # sizing outside the lock (read-only)
+        with self._lock:
+            v = self._d.get(key)
+            if v is not None:
+                self._d.move_to_end(key)
+                return v
+            self._put_locked(key, value, size)
+            return value
 
     def __setitem__(self, key: str, value: tuple) -> None:
         self.put(key, value)

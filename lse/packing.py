@@ -26,10 +26,24 @@ oracle transcribes exactly that), at O(rows/n_parts) per task.
 
 from __future__ import annotations
 
+from typing import Optional
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+# auto-sizing target: one applyInPandas group should hold at most ~4M rows
+# (a few hundred MB of pandas) no matter the corpus size — at 10^12 rows the
+# fixed old default of 64 parts would have put ~1.6e10 rows in one group
+_TARGET_ROWS_PER_PART = 4_000_000
+
+
+def _auto_parts(n_rows: int) -> int:
+    """Part count for a given row count: never fewer than 64 (parallelism
+    floor on small inputs), and scaling linearly so no part exceeds
+    ~``_TARGET_ROWS_PER_PART`` rows at any corpus size."""
+    return max(64, -(-int(n_rows) // _TARGET_ROWS_PER_PART))
 
 
 def assign_pack_ids(
@@ -37,24 +51,28 @@ def assign_pack_ids(
     budget: int = 2048,
     id_col: str = "doc_id",
     token_col: str = "n_tokens",
-    n_parts: int = 64,
+    n_parts: Optional[int] = None,
     out: str = "pack_id",
 ) -> DataFrame:
     """Append ``pack_id`` (long) per the exclusive-prefix definition above.
 
     ``token_col`` must be a non-negative integer column; rows keep all
     original columns. Empty input returns an empty frame with the added
-    column."""
+    column. ``n_parts=None`` (default) auto-sizes from the row count via
+    :func:`_auto_parts`; pass an explicit value only to pin tests."""
     if budget <= 0:
         raise ValueError("assign_pack_ids: budget must be positive")
     stats = df.agg(
-        F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
+        F.min(id_col).alias("lo"), F.max(id_col).alias("hi"),
+        F.count("*").alias("n"),
     ).first()
     schema = T.StructType(
         list(df.schema.fields) + [T.StructField(out, T.LongType())]
     )
     if stats["lo"] is None:
         return df.sparkSession.createDataFrame([], schema)
+    if n_parts is None:
+        n_parts = _auto_parts(int(stats["n"]))
     lo, hi = int(stats["lo"]), int(stats["hi"])
     width = max(1, (hi - lo + n_parts) // n_parts)
     part_expr = f"CAST(({id_col} - {lo}) DIV {width} AS LONG)"
@@ -89,7 +107,7 @@ def pack_sequences(
     token_col: str = "n_tokens",
     text_col: str = "content",
     sep: str = "\n\n",
-    n_parts: int = 64,
+    n_parts: Optional[int] = None,
 ) -> DataFrame:
     """Materialize the packed sequences: (pack_id, n_docs, total_tokens,
     text) — documents concatenated in ``id_col`` order within each pack,

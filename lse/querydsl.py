@@ -25,11 +25,33 @@ from .constants import MAX_QUERY_LENGTH, SUPPORTED_FIELDS
 
 
 class QueryParseError(ValueError):
+    """Parse error with the reference's rendering
+    (query/QueryParseException.java:6-42): the exception text is
+    ``Parse error at position N: <message>`` followed by the query and a
+    ``^`` caret under the error position (clamped to the query length),
+    and ``.suggestion`` carries the reference's fix hint — its exact
+    strings, including the Chinese-language hints ported verbatim."""
+
     def __init__(self, message: str, position: int, query: str):
-        super().__init__(f"{message} (at {position} in {query!r})")
+        caret_pos = max(0, min(position, len(query)))
+        rendered = (
+            f"Parse error at position {position}: {message}\n"
+            f"{query}\n{' ' * caret_pos}^"
+        )
+        super().__init__(rendered)
         self.message = message
         self.position = position
         self.query = query
+        self.suggestion = self._suggest_fix(position, query)
+
+    @staticmethod
+    def _suggest_fix(pos: int, query: str) -> str:
+        # port of QueryParseException.suggestFix (same case order)
+        if query is None or not query.strip():
+            return "请输入非空查询"
+        if pos >= len(query) and query.count('"') % 2 != 0:
+            return "检测到未闭合引号，请补全右引号"
+        return "请检查该位置附近的语法，例如括号、引号或布尔运算符"
 
 
 class TT(enum.Enum):

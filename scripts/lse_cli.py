@@ -143,7 +143,9 @@ def main() -> int:
             try:
                 hits, total = eng.search_result(args.query, args.limit, mode=args.mode)
             except QueryParseError as e:
-                print(f"query error: {e}", file=sys.stderr)
+                # caret rendering + fix suggestion, matching the reference
+                # CLI's error surface (query/QueryParseException.java:6-42)
+                print(f"query error: {e}\nsuggestion: {e.suggestion}", file=sys.stderr)
                 return 2
             if args.json:
                 print(json.dumps(dict(

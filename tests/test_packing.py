@@ -92,3 +92,38 @@ def test_pack_sequences_concatenation_order(spark):
         r = out[p]
         assert r["n_docs"] == 2 and r["total_tokens"] == 100
         assert r["text"] == f"doc{2*p}|doc{2*p+1}"
+
+
+def test_auto_parts_scales_with_rows():
+    """Part width vs row count: 64-part floor for small inputs, then linear
+    so one applyInPandas group can never exceed ~4M rows at any scale (the
+    round-4 fixed default of 64 would put 1.6e10 rows in one group at
+    10^12 rows)."""
+    from lse.packing import _TARGET_ROWS_PER_PART, _auto_parts
+
+    assert _auto_parts(0) == 64
+    assert _auto_parts(100) == 64
+    assert _auto_parts(64 * _TARGET_ROWS_PER_PART) == 64
+    for n in (10**9, 10**10, 10**12):
+        parts = _auto_parts(n)
+        assert parts >= n // _TARGET_ROWS_PER_PART
+        # rows per part bounded by the target (ceil division)
+        assert -(-n // parts) <= _TARGET_ROWS_PER_PART
+
+
+def test_auto_parts_same_result_as_fixed(spark):
+    """n_parts=None must produce bit-identical pack ids to any explicit
+    part count (the two-phase prefix sum is partition-invariant)."""
+    from lse.packing import assign_pack_ids
+
+    rows = [(i * 7 + 3, (i % 13) + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    auto = {
+        (r["doc_id"], r["pack_id"])
+        for r in assign_pack_ids(df, budget=40).collect()
+    }
+    fixed = {
+        (r["doc_id"], r["pack_id"])
+        for r in assign_pack_ids(df, budget=40, n_parts=7).collect()
+    }
+    assert auto == fixed and len(auto) == 500

@@ -16,6 +16,11 @@ from lse.engine import SearchEngine
 @pytest.fixture(scope="module")
 def engine(spark, fixture_index):
     index_dir, _ = fixture_index
+    # these tests assert on the PARQUET scan plan (PushedFilters/ReadSchema);
+    # a previously-warmed engine over the same fixture leaves persisted
+    # InMemoryRelations that would substitute for the scan — drop them so
+    # the assertions are order-independent across test files
+    spark.catalog.clearCache()
     return SearchEngine(spark, index_dir)
 
 

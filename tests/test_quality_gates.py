@@ -161,3 +161,129 @@ def test_ivf_deterministic_and_empty_cell_reseed(spark):
     b = similarity.train_ivf_centroids(emb, n_cells=8, seed=3)
     np.testing.assert_array_equal(a, b)
     assert a.shape[0] == 8
+
+
+# --------------------------------------------------- LSH bucket-cap guards
+def _plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_minhash_bucket_cap_bounded(spark):
+    """A planted 5k-doc near-identical cluster (the 100-TB boilerplate
+    regime: exact dedup can't remove them, every band hashes identically)
+    must complete with O(n) STAR pairs — never the C(5000,2) ≈ 1.25e7
+    all-pairs blowup — keep cluster connectivity intact for
+    keep-one-per-cluster dedup, and report what was capped (no silent
+    caps)."""
+    n = 5000
+    rows = [
+        (i, f"boilerplate license header shared by every file {'x' * 40}")
+        for i in range(n)
+    ] + [
+        (n + i, f"genuinely unique document number {i} with its own words "
+                f"{np.base_repr(7919 * (i + 1), 31)}")
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    sigs = dedup.minhash_signatures(df, num_hashes=32, shingle_k=5).cache()
+    try:
+        stats = {}
+        pairs = dedup.minhash_candidate_pairs(
+            sigs, bands=8, threshold=0.7, max_bucket_size=100,
+            stats_out=stats,
+        ).collect()
+        # bounded: star pairs only for the mega-cluster (n-1) plus the
+        # background docs' legitimate all-pairs — never the ~n²/2 blowup
+        assert len(pairs) <= n + 250, len(pairs)
+        # connectivity: every cluster member reachable from the representative
+        rep = min(r["doc_a"] for r in pairs)
+        connected = {rep} | {
+            r["doc_b"] for r in pairs if r["doc_a"] == rep
+        } | {r["doc_a"] for r in pairs}
+        assert len([d for d in connected if d < n]) == n
+        # the cap reported itself
+        assert stats["capped_buckets"] >= 1
+        assert stats["largest_bucket"] == n
+        assert stats["allpairs_avoided"] > 1e6
+    finally:
+        sigs.unpersist()
+
+
+def test_minhash_cap_inert_when_not_binding(spark):
+    """With no bucket over the cap the result must be IDENTICAL to the
+    uncapped all-pairs semantics (the CORRECTNESS oracle regime)."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog in the morning"),
+        (2, "the quick brown fox jumps over the lazy dog in the evening"),
+        (3, "completely different content about distributed spark engines"),
+        (4, "completely different content about distributed spark engine"),
+        (5, "unrelated third topic entirely on its own"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    sigs = dedup.minhash_signatures(df, num_hashes=64, shingle_k=5).cache()
+    try:
+        stats = {}
+        capped = {
+            (r["doc_a"], r["doc_b"], round(r["est_jaccard"], 9))
+            for r in dedup.minhash_candidate_pairs(
+                sigs, bands=16, threshold=0.5, max_bucket_size=5000,
+                stats_out=stats,
+            ).collect()
+        }
+        uncapped = {
+            (r["doc_a"], r["doc_b"], round(r["est_jaccard"], 9))
+            for r in dedup.minhash_candidate_pairs(
+                sigs, bands=16, threshold=0.5, max_bucket_size=2**31,
+            ).collect()
+        }
+        assert capped == uncapped and len(capped) >= 2
+        assert stats["capped_buckets"] == 0
+    finally:
+        sigs.unpersist()
+
+
+def test_minhash_band_exchange_sheds_signatures(spark):
+    """Round-5 shuffle trim: the band self-join must exchange only
+    (doc_id, band, bh) — full signatures rejoin after pair dedup. Every
+    Exchange partitioned on the band key must not carry a sig column."""
+    rows = [(i, f"document number {i} body text") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    sigs = dedup.minhash_signatures(df, num_hashes=32)
+    pairs = dedup.minhash_candidate_pairs(sigs, bands=8, threshold=0.1)
+    plan = _plan_of(pairs)
+    # formatted-plan detail blocks: "(N) Exchange\nInput [..]: [cols]\n
+    # Arguments: hashpartitioning(keys...)". Every exchange partitioned on
+    # the band key must ship only (doc_id, band, bh).
+    band_ex = [
+        b
+        for b in plan.split("\n\n")
+        if b.strip().startswith("(")
+        and "Exchange" in b.splitlines()[0]
+        and "hashpartitioning(band" in b
+    ]
+    assert band_ex, plan[:2000]
+    for b in band_ex:
+        assert "sig" not in b, b
+
+
+def test_embedding_bucket_cap_star_pairs(spark):
+    """200 identical embeddings in one LSH bucket with cap 20 -> exactly
+    n-1 star pairs at cosine 1.0, plus the uncapped pairs elsewhere."""
+    base = [1.0, 0.0, 0.5, 0.25]
+    rows = [(i, base) for i in range(200)] + [
+        (1000, [0.0, 1.0, 0.0, 0.0]),
+        (1001, [0.0, 0.999, 0.01, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = dedup.embedding_near_dups(
+        emb, threshold=0.95, planes=6, max_bucket_size=20
+    ).collect()
+    star = [p for p in pairs if p["id_a"] == 0]
+    assert len(star) == 199  # rep pairs with every clone, nothing quadratic
+    cluster_pairs = [p for p in pairs if p["id_b"] < 1000]
+    assert len(cluster_pairs) == 199
+    assert {(p["id_a"], p["id_b"]) for p in pairs if p["id_a"] >= 1000} == {
+        (1000, 1001)
+    }

@@ -128,3 +128,56 @@ def test_extract_query_terms():
     terms = extract_query_terms(ast('Java AND (Spark OR "machine learning") -Draft'))
     assert terms == {"java", "spark", "machine", "learning", "draft"}
     assert extract_query_terms(ast("config*")) == {"config"}
+
+
+# ------------------------------------------------- caret + suggestion parity
+def test_parse_error_caret_rendering():
+    """Reference rendering parity (query/QueryParseException.java:27-33):
+    'Parse error at position N: <msg>' + the query line + a caret line with
+    the ^ under the (clamped) error position."""
+    with pytest.raises(QueryParseError) as ei:
+        parse('"unclosed')
+    lines = str(ei.value).splitlines()
+    assert lines[0] == "Parse error at position 0: unclosed quote"
+    assert lines[1] == '"unclosed'
+    assert lines[2] == "^"
+
+    with pytest.raises(QueryParseError) as ei:
+        parse("size:1..")
+    lines = str(ei.value).splitlines()
+    assert lines[0] == "Parse error at position 8: range query missing end value"
+    assert lines[1] == "size:1.."
+    assert lines[2] == " " * 8 + "^"  # clamped to len(query)
+
+    with pytest.raises(QueryParseError) as ei:
+        parse("bogus:x")
+    lines = str(ei.value).splitlines()
+    assert lines[0].startswith("Parse error at position 0: unsupported field")
+    assert lines[2] == "^"
+
+
+def test_parse_error_suggestions():
+    """suggestFix parity (query/QueryParseException.java:35-42), exact
+    strings: blank query, unclosed-quote-at-EOF, generic."""
+    from lse.querydsl import QueryParseError as E
+
+    # blank query -> 非空 hint (both '' and whitespace-only)
+    with pytest.raises(E) as ei:
+        parse("")
+    assert ei.value.suggestion == "请输入非空查询"
+    with pytest.raises(E) as ei:
+        parse("   ")
+    assert ei.value.suggestion == "请输入非空查询"
+    # pos at/past EOF with an odd quote count -> unclosed-quote hint
+    assert (
+        E._suggest_fix(9, '"unclosed') == "检测到未闭合引号，请补全右引号"
+    )
+    # everything else -> generic syntax hint (incl. the lexer's
+    # unclosed-quote error, which points at the OPENING quote — same
+    # position the reference lexer reports, QueryLexer.java:136)
+    with pytest.raises(E) as ei:
+        parse('"unclosed')
+    assert ei.value.suggestion == "请检查该位置附近的语法，例如括号、引号或布尔运算符"
+    with pytest.raises(E) as ei:
+        parse("bogus:x")
+    assert ei.value.suggestion == "请检查该位置附近的语法，例如括号、引号或布尔运算符"
