@@ -93,6 +93,12 @@ def varbyte_decode(buf: bytes, offset: int = 0, count: int = -1) -> Tuple[np.nda
         value_ends = value_ends[:count]
         raw = raw[: value_ends[-1] + 1]
     n = value_ends.size
+    # fast path: every byte terminal ⇒ all values single-byte (< 128) —
+    # position deltas / counts / dense doc-id deltas are overwhelmingly in
+    # this regime, and skipping the arange/repeat/reduceat passes makes the
+    # first-touch phrase decode ~3× cheaper
+    if n == raw.size:
+        return raw.astype(np.int64), offset + n
     starts = np.empty(n, dtype=np.int64)
     starts[0] = 0
     starts[1:] = value_ends[:-1] + 1

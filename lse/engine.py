@@ -236,17 +236,17 @@ class SearchEngine:
                 self,
                 meta_limit=geti(p + "metaLimit", 2_000_000),
                 postings_byte_budget=geti(p + "postingsByteBudget", 256 << 20),
-                positions_byte_budget=geti(p + "positionsByteBudget", 64 << 20),
+                positions_byte_budget=geti(p + "positionsByteBudget", 256 << 20),
                 dict_row_limit=geti(p + "dictRowLimit", 2_000_000),
                 dict_byte_budget=geti(p + "dictByteBudget", 256 << 20),
-                cache_byte_budget=geti(p + "cacheByteBudget", 1 << 30),
+                cache_byte_budget=geti(p + "cacheByteBudget", 4 << 30),
             )
         return self._local
 
     def warm(
         self,
-        prefetch_terms: int = 64,
-        prefetch_positions: int = 16,
+        prefetch_terms: int = 128,
+        prefetch_positions: int = 64,
     ) -> "SearchEngine":
         """Pin the query-facing tables on the executors (MEMORY_AND_DISK)
         and materialize them — the serving analog of the reference keeping
@@ -259,6 +259,11 @@ class SearchEngine:
         first-query job."""
         from pyspark import StorageLevel
 
+        from .mempool import enable_heap_pooling
+
+        # serving mode: pool freed kernel temps on the heap so first-touch
+        # queries don't pay mmap re-fault + page-zeroing per fresh phrase
+        enable_heap_pooling()
         n_buckets = max(int(self.stats.get("n_buckets", 8)), 1)
         # repartition by bucket for exchange elision, but SORT WITHIN each
         # partition by term: cached batches then carry tight term min/max
@@ -349,7 +354,10 @@ class SearchEngine:
                 order = np.argsort(loc._pos_bytes)[::-1]
                 budget = min(
                     loc.positions_byte_budget,
-                    loc._positions_cache.byte_budget // 32,
+                    # measured decode expansion is ~8× payload (int64 ids/
+                    # counts/flat vs varbyte), so /16 keeps the decoded
+                    # prefetch at ≤ half the LRU — /32 was double-counting
+                    loc._positions_cache.byte_budget // 16,
                 )
                 picked, used = [], 0
                 for i in order[:n_positions]:
@@ -359,7 +367,16 @@ class SearchEngine:
                     used += b
                     picked.append(str(loc._pos_terms[i]))
                 if picked:
-                    loc._positions_for(sorted(picked))
+                    pos = loc._positions_for(sorted(picked))
+                    # prebuild the per-term rank-key arrays (the phrase
+                    # kernel's only per-term cost) and pre-run one
+                    # adjacency intersect: first REAL phrases over hot
+                    # terms then run at steady-state kernel speed
+                    if loc._all_ids is not None or self.N <= loc.meta_limit:
+                        for t in picked:
+                            loc._rank_keys_cached(t, pos[t])
+                        if len(picked) >= 2:
+                            loc._phrase_match(picked[:2], pos)
         except Exception:  # pragma: no cover — warm must never fail a load
             pass
 

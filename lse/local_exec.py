@@ -188,10 +188,10 @@ class LocalExecutor:
         engine,
         meta_limit: int = 2_000_000,
         postings_byte_budget: int = 256 << 20,
-        positions_byte_budget: int = 64 << 20,
+        positions_byte_budget: int = 256 << 20,
         dict_row_limit: int = 2_000_000,
         dict_byte_budget: int = 256 << 20,
-        cache_byte_budget: int = 1 << 30,
+        cache_byte_budget: int = 4 << 30,
     ):
         self.engine = engine
         self.meta_limit = meta_limit
@@ -199,10 +199,12 @@ class LocalExecutor:
         # payloads for its terms/prefix expansions, position blobs for its
         # phrase terms. Queries over budget are served by the distributed
         # tiers instead — a hot term (df→N) must never OOM the driver.
-        # Defaults are sized for the driver actually available (≳a few GB);
-        # override per engine via spark.lse.local.* (SearchEngine.local) or
-        # the constructor. Routing stays a PURE function of query +
-        # dictionary — the budgets only scale the admission threshold.
+        # Defaults assume a serving driver with ≳16 GB of headroom (the
+        # reference holds its ENTIRE index in-process, DictionaryReader's
+        # TreeMap + posting files mmap'd; our bound is explicit instead) —
+        # shrink via the constructor on small drivers. Routing stays a
+        # PURE function of query + dictionary — the budgets only scale the
+        # admission threshold.
         self.postings_byte_budget = postings_byte_budget
         self.positions_byte_budget = positions_byte_budget
         self.dict_row_limit = dict_row_limit
@@ -213,12 +215,19 @@ class LocalExecutor:
         import threading
 
         self._tls = threading.local()  # per-query working state (see below)
+        self._fetch_pool_lock = threading.Lock()
+        self._fetch_pool_ = None
         self._postings_cache = _ByteLRU(cache_byte_budget)
         self._prefix_cache: Dict[str, List[str]] = {}
         self._positions_cache = _ByteLRU(cache_byte_budget // 2)
         # raw phrase-match doc sets, keyed to the position-decode
         # identities (phrase serving's warm path)
         self._phrase_cache = _ByteLRU(cache_byte_budget // 8)
+        # per-TERM rank-key arrays ((doc_rank << 32) + position over the
+        # live universe, phrase.rank_keys): built once per term, shared by
+        # every phrase using the term — the first-touch phrase kernel then
+        # reduces to scalar-offset sorted intersections
+        self._pkey_cache = _ByteLRU(cache_byte_budget // 4)
         # per-term idf·raw score arrays (N/avgdl are fixed per engine, so
         # these never go stale) — repeat term queries skip BM25 entirely
         self._scores_cache = _ByteLRU(cache_byte_budget // 2)
@@ -498,6 +507,20 @@ class LocalExecutor:
     def _prefix_terms(self, value):
         self._tls.prefix_terms = value
 
+    def _fetch_pool(self):
+        """Single-thread pool for overlapping independent driver collects
+        within one query (postings ∥ positions). Created lazily under its
+        own lock so concurrent serving threads share one pool (the worker
+        thread is only spawned on first use)."""
+        with self._fetch_pool_lock:
+            if self._fetch_pool_ is None:
+                from concurrent.futures import ThreadPoolExecutor
+
+                self._fetch_pool_ = ThreadPoolExecutor(
+                    max_workers=1, thread_name_prefix="lse-fetch"
+                )
+            return self._fetch_pool_
+
     def _positions_for(self, terms: List[str]):
         """term → flat TermPositions (doc_ids, counts, flat positions),
         merged across segment shards. Returns a QUERY-LOCAL dict (the LRU
@@ -724,12 +747,41 @@ class LocalExecutor:
             base.ids[matched], base.scores[matched] + orsum[matched]
         )
 
+    def _rank_keys_cached(self, term: str, tp) -> np.ndarray:
+        """Read-through LRU over phrase.rank_keys, identity-validated
+        against the positions decode (same invalidation rule as the
+        scores/ranks caches). The TermPositions ref is held in a LIST so
+        its bytes charge the positions cache, not this one."""
+        from .phrase import rank_keys
+
+        hit = self._pkey_cache.get(term)
+        if hit is not None and hit[0][0] is tp:
+            return hit[1]
+        keys = rank_keys(tp, self.all_doc_ids())
+        self._pkey_cache.put(term, ([tp], keys))
+        return keys
+
+    def _phrase_match(self, norm: List[str], positions) -> np.ndarray:
+        """Adjacency match set: rank-key fast path (per-term cacheable,
+        scalar-offset slot intersections) when the live doc universe is
+        driver-resident; the per-query packed-key kernel otherwise. Both
+        share phrase.py semantics — parity pinned by tests."""
+        from .phrase import match_phrase, match_phrase_ranked
+
+        if self._all_ids is None and self.engine.N > self.meta_limit:
+            return match_phrase(norm, positions)
+        keys_of = {}
+        for t in set(norm):
+            tp = positions.get(t)
+            if tp is None or tp[0].size == 0:
+                return np.empty(0, dtype=np.int64)
+            keys_of[t] = self._rank_keys_cached(t, tp)
+        return match_phrase_ranked(norm, keys_of, self.all_doc_ids())
+
     def _eval_phrase(self, terms: List[str], positions) -> _ScoreSet:
         norm = [(t or "").lower() for t in terms]
         if not norm or any(not t.strip() for t in norm):
             return _ScoreSet.empty()
-        from .phrase import match_phrase
-
         scored = {t: self._score_term(t) for t in set(norm)}
         first = scored[norm[0]]
         if first.ids.size == 0:
@@ -751,7 +803,7 @@ class LocalExecutor:
         ):
             marr = hit[1]
         else:
-            marr = match_phrase(norm, positions)
+            marr = self._phrase_match(norm, positions)
             # the list holds the TermPositions refs for identity validation
             # without their bytes charging this cache's budget (they are
             # owned by _positions_cache)
@@ -891,11 +943,26 @@ class LocalExecutor:
         terms = sorted(querydsl.extract_query_terms(ast))
         prefixes = sorted({n.prefix.lower() for n in _walk(ast) if isinstance(n, Prefix)})
         plain = sorted(set(terms) - set(prefixes)) if prefixes else terms
-        self.fetch_terms(plain, prefixes)
         phrase_terms = [
             t.lower() for n in _walk(ast) if isinstance(n, Phrase) for t in n.terms
         ]
-        positions = self._positions_for(phrase_terms) if phrase_terms else {}
+        # phrase first-touch pays TWO driver collects (postings + position
+        # blobs); they are independent Spark jobs, so overlap them — the
+        # positions fetch runs on a side thread while fetch_terms collects
+        # (both only touch lock-guarded LRUs; Spark submits are thread-safe)
+        pos_future = None
+        if phrase_terms and any(
+            t.strip() and t not in self._positions_cache
+            for t in set(phrase_terms)
+        ):
+            pos_future = self._fetch_pool().submit(
+                self._positions_for, phrase_terms
+            )
+        self.fetch_terms(plain, prefixes)
+        if pos_future is not None:
+            positions = pos_future.result()
+        else:
+            positions = self._positions_for(phrase_terms) if phrase_terms else {}
         res = self._eval(ast, positions)
         total = int(res.ids.size)
         if result.sort is not None and result.sort.field in ("mtime", "size"):

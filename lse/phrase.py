@@ -136,6 +136,76 @@ def match_phrase(
     return cand[docs[first]]
 
 
+def rank_keys(tp: TermPositions, all_ids: np.ndarray) -> np.ndarray:
+    """Per-TERM packed adjacency keys over the GLOBAL sorted doc universe:
+    ``(doc_rank << 32) + position``, strictly ascending.
+
+    The point (vs :func:`match_phrase`'s per-query ``packed_keys``): doc
+    ranks come from ``all_ids`` — a universe shared by every term — so the
+    slot shift of a phrase reduces to a SCALAR offset on this array
+    (``key + (n_terms - slot)``), and the array itself depends only on the
+    term. One build per term serves every phrase that uses the term
+    (:class:`lse.local_exec.LocalExecutor` caches it in an LRU), turning
+    the per-query adjacency kernel into sorted-array intersections.
+
+    Docs absent from ``all_ids`` (e.g. tombstoned docs in an unfiltered
+    positions decode) are dropped — they could never survive the
+    live-postings filter downstream anyway."""
+    ids, counts, flat = tp
+    if ids.size == 0 or all_ids.size == 0:
+        return _EMPTY
+    rank = np.searchsorted(all_ids, ids)
+    np.minimum(rank, all_ids.size - 1, out=rank)
+    valid = all_ids[rank] == ids
+    if not valid.all():
+        _ids, counts, flat = filter_docs(tp, valid)
+        rank = rank[valid]
+    if flat.size == 0:
+        return _EMPTY
+    return np.repeat(rank << np.int64(32), counts) + flat
+
+
+def match_phrase_ranked(
+    terms: Sequence[str],
+    keys_of: Dict[str, np.ndarray],
+    all_ids: np.ndarray,
+) -> np.ndarray:
+    """Adjacency match over prebuilt :func:`rank_keys` arrays → sorted doc
+    ids. Exactly :func:`match_phrase`'s semantics (pinned by parity tests);
+    the per-slot work is one scalar-offset add + one binary-search
+    membership pass, so a phrase over key-cached terms costs
+    O(min_slot_size · log max_slot_size) instead of rebuilding packed keys
+    per query."""
+    from .ids import member_mask
+
+    if not terms or any(not (t and t.strip()) for t in terms):
+        return _EMPTY
+    for t in set(terms):
+        if t not in keys_of or keys_of[t].size == 0:
+            return _EMPTY
+    n = len(terms)
+    slot_order = sorted(range(n), key=lambda i: keys_of[terms[i]].size)
+    i0 = slot_order[0]
+    # running set lives in the value space "position + n - slot" of slot i0
+    running = keys_of[terms[i0]] + np.int64(n - i0)
+    for i in slot_order[1:]:
+        if running.size == 0:
+            return _EMPTY
+        keys = keys_of[terms[i]]
+        off = np.int64(n - i)
+        if keys.size < running.size:
+            shifted = keys + off
+            running = shifted[member_mask(shifted, running)]
+        else:
+            running = running[member_mask(running - off, keys)]
+    if running.size == 0:
+        return _EMPTY
+    ranks = running >> np.int64(32)
+    first = np.ones(ranks.size, dtype=bool)
+    first[1:] = ranks[1:] != ranks[:-1]
+    return all_ids[ranks[first]]
+
+
 def merge_shards(shards: List[TermPositions]) -> TermPositions:
     """Merge per-(segment/bucket) decoded position shards of ONE term into a
     single flat TermPositions sorted by doc id.

@@ -119,3 +119,66 @@ def test_merge_shards_and_tombstones():
     assert ids2.tolist() == [1, 5]
     assert counts2.tolist() == [1, 2]
     assert flat2.tolist() == [0, 2, 3]
+
+
+# ------------------------------------------- rank-key fast path parity
+def _random_positions(rng, n_docs_universe, n_terms=3, max_docs=40, max_pos=30):
+    """Random TermPositions dict over a random sorted doc universe."""
+    import numpy as np
+
+    universe = np.sort(
+        rng.choice(10_000, size=n_docs_universe, replace=False).astype(np.int64)
+    )
+    per_term = {}
+    for ti in range(n_terms):
+        nd = int(rng.integers(0, max_docs))
+        docs = np.sort(rng.choice(universe, size=min(nd, universe.size), replace=False))
+        counts = rng.integers(1, 6, size=docs.size).astype(np.int64)
+        flat = np.concatenate(
+            [
+                np.sort(rng.choice(max_pos, size=c, replace=False)).astype(np.int64)
+                for c in counts
+            ]
+        ) if docs.size else np.empty(0, dtype=np.int64)
+        per_term[f"t{ti}"] = (docs.astype(np.int64), counts, flat)
+    return universe, per_term
+
+
+def test_match_phrase_ranked_parity_random():
+    """match_phrase_ranked over prebuilt rank keys must equal match_phrase
+    on 300 random corpora × random phrase shapes (incl. repeated terms and
+    docs absent from the universe)."""
+    import numpy as np
+
+    from lse.phrase import match_phrase, match_phrase_ranked, rank_keys
+
+    rng = np.random.default_rng(20260817)
+    for trial in range(300):
+        universe, per_term = _random_positions(
+            rng, n_docs_universe=int(rng.integers(5, 60))
+        )
+        names = list(per_term)
+        k = int(rng.integers(2, 4))
+        phrase = [names[int(rng.integers(0, len(names)))] for _ in range(k)]
+        expect = match_phrase(phrase, per_term)
+        keys_of = {t: rank_keys(per_term[t], universe) for t in set(phrase)}
+        got = match_phrase_ranked(phrase, keys_of, universe)
+        np.testing.assert_array_equal(got, expect, err_msg=f"trial {trial}: {phrase}")
+
+
+def test_rank_keys_drops_docs_outside_universe():
+    """Docs missing from all_ids (tombstoned) must vanish from the keys —
+    and a phrase whose only match is such a doc returns empty."""
+    import numpy as np
+
+    from lse.phrase import match_phrase_ranked, rank_keys
+
+    universe = np.array([10, 30], dtype=np.int64)
+    tp_a = (np.array([10, 20], dtype=np.int64), np.array([1, 1], dtype=np.int64),
+            np.array([0, 5], dtype=np.int64))
+    tp_b = (np.array([10, 20], dtype=np.int64), np.array([1, 1], dtype=np.int64),
+            np.array([1, 6], dtype=np.int64))
+    ka, kb = rank_keys(tp_a, universe), rank_keys(tp_b, universe)
+    assert ka.size == 1 and kb.size == 1  # doc 20 dropped
+    got = match_phrase_ranked(["a", "b"], {"a": ka, "b": kb}, universe)
+    np.testing.assert_array_equal(got, np.array([10], dtype=np.int64))

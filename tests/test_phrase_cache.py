@@ -16,20 +16,29 @@ def eng(spark, fixture_index):
     return SearchEngine(spark, index_dir)
 
 
-def test_phrase_repeat_skips_kernel(eng, monkeypatch):
-    import lse.local_exec as lx
-
-    calls = {"n": 0}
-    real = None
+def _count_kernels(monkeypatch):
+    """Count invocations of EITHER adjacency kernel (per-query packed-key
+    match_phrase or the rank-key fast path match_phrase_ranked)."""
     from lse import phrase as ph
 
-    real = ph.match_phrase
+    calls = {"n": 0}
+    real_mp, real_mpr = ph.match_phrase, ph.match_phrase_ranked
 
-    def counting(terms, per_term):
+    def counting_mp(terms, per_term):
         calls["n"] += 1
-        return real(terms, per_term)
+        return real_mp(terms, per_term)
 
-    monkeypatch.setattr(ph, "match_phrase", counting)
+    def counting_mpr(terms, keys_of, all_ids):
+        calls["n"] += 1
+        return real_mpr(terms, keys_of, all_ids)
+
+    monkeypatch.setattr(ph, "match_phrase", counting_mp)
+    monkeypatch.setattr(ph, "match_phrase_ranked", counting_mpr)
+    return calls
+
+
+def test_phrase_repeat_skips_kernel(eng, monkeypatch):
+    calls = _count_kernels(monkeypatch)
     q = '"distributed system"'
     first_hits, first_total = eng.search_result(q, 10)
     assert calls["n"] == 1
@@ -51,14 +60,7 @@ def test_phrase_cache_invalidates_on_decode_change(eng, monkeypatch):
     eng.local._positions_cache._d.clear()
     eng.local._positions_cache._sizes.clear()
     eng.local._positions_cache.bytes = 0
-    calls = {"n": 0}
-    real = ph.match_phrase
-
-    def counting(terms, per_term):
-        calls["n"] += 1
-        return real(terms, per_term)
-
-    monkeypatch.setattr(ph, "match_phrase", counting)
+    calls = _count_kernels(monkeypatch)
     hits, total = eng.search_result(q, 10)
     assert calls["n"] == 1  # identity changed — kernel re-ran
     assert total == base_total
