@@ -183,6 +183,47 @@ def _stream_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
     return _ENGINE_CACHE[key]
 
 
+def _merged_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
+    """Engine over an index whose deltas went through a LEVELED MERGE
+    (round-5 tiered compaction, reference MERGE_FACTOR policy
+    config/Constants.java:30-31): the base build indexes doc_id % 4 == 0,
+    three upsert micro-batches add the rest with auto-merge factor 3 — the
+    third batch triggers maintenance.maybe_merge_deltas, folding the three
+    L0 delta segments into one L1 segment WITHOUT touching the base. The
+    logical corpus afterwards must equal the raw documents table (same
+    scored-CTE oracle as the incremental/stream entries). The builder
+    raises if no merge fired, so the entry can never silently degrade into
+    retesting the plain delta path."""
+    key = (id(spark), sf_dir, "merged")
+    if key not in _ENGINE_CACHE:
+        from lse.maintenance import _delta_entries
+        from lse.streaming import upsert_batch
+
+        idx = _index_dir(sf_dir) + "_merged"
+        marker = os.path.join(idx, "_MERGED_DONE")
+        if not os.path.exists(marker):
+            src = _docs_source(spark, sf_dir)
+            build_index(
+                spark, src.filter(F.col("doc_id") % 4 == 0), idx,
+                precomputed_doc_id=True, n_buckets=8, index_partitions=8,
+            )
+            for m in (1, 2, 3):
+                upsert_batch(
+                    spark, idx,
+                    src.filter(F.col("doc_id") % 4 == m).drop("doc_id"),
+                    auto_compact_segments=3, n_buckets=8, index_partitions=8,
+                )
+            entries = _delta_entries(idx)
+            if not any(int(e.get("level", 0)) >= 1 for e in entries):
+                raise RuntimeError(
+                    f"leveled merge did not fire: segments={entries}"
+                )
+            with open(marker, "w") as fh:
+                fh.write("done")
+        _ENGINE_CACHE[key] = SearchEngine(spark, idx)
+    return _ENGINE_CACHE[key]
+
+
 def _engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
     key = (id(spark), sf_dir)
     if key not in _ENGINE_CACHE:
@@ -340,6 +381,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_incremental_count(spark, sf):
         eng = _inc_engine(spark, sf)
+        return spark.createDataFrame(
+            [(eng.search_result("spark OR query", 10)[1], eng.N)],
+            "total long, n_docs long",
+        )
+
+    def q_merged_term_scores(spark, sf):
+        # leveled-merge end-to-end (round 5): base + 3 upsert batches with
+        # auto-merge factor 3 -> one L1 delta segment; score multiset must
+        # equal the oracle over the raw documents table (ids are
+        # generation-salted, so compare the content-derived scores)
+        eng = _merged_engine(spark, sf)
+        from lse import querydsl
+
+        return _r6(eng.compile(querydsl.parse("spark").ast)).select("score")
+
+    def q_merged_count(spark, sf):
+        eng = _merged_engine(spark, sf)
         return spark.createDataFrame(
             [(eng.search_result("spark OR query", 10)[1], eng.N)],
             "total long, n_docs long",
@@ -768,6 +826,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cjk_tokenize_tf": q_cjk_tokenize_tf,
         "incremental_term_scores": q_incremental_term_scores,
         "incremental_count": q_incremental_count,
+        "merged_term_scores": q_merged_term_scores,
+        "merged_count": q_merged_count,
         "dedup_exact": q_dedup_exact,
         "ann_cosine_topk": q_ann_cosine_topk,
         "text_quality": q_text_quality,
@@ -1020,9 +1080,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, term, count(*) AS tf FROM allt GROUP BY 1, 2""",
         "incremental_term_scores": _TOK_CTE
         + "SELECT round(score, 6) AS score FROM scored WHERE term = 'spark'",
+        "merged_term_scores": _TOK_CTE
+        + "SELECT round(score, 6) AS score FROM scored WHERE term = 'spark'",
         "stream_term_scores": _TOK_CTE
         + "SELECT round(score, 6) AS score FROM scored WHERE term = 'spark'",
         "incremental_count": _TOK_CTE
+        + """SELECT (SELECT count(DISTINCT doc_id) FROM tf
+                     WHERE term IN ('spark', 'query')) AS total,
+                    (SELECT count(*) FROM documents) AS n_docs""",
+        "merged_count": _TOK_CTE
         + """SELECT (SELECT count(DISTINCT doc_id) FROM tf
                      WHERE term IN ('spark', 'query')) AS total,
                     (SELECT count(*) FROM documents) AS n_docs""",
