@@ -20,9 +20,13 @@ import sys
 import tempfile
 import time
 
+# Serving queries: strategy='auto' end-to-end — exactly what a caller of
+# SearchEngine.search_result gets.  The headline query_p95_sec is computed
+# over these (VERDICT r4 item 4: the bench headline now matches the
+# memoized serving reality instead of force-routing hot queries through
+# the distributed kernels auto would never pick at this corpus size).
 BENCH_QUERIES = {
     "term": "spark",
-    "term_topk_wand": "spark",
     "implicit_and": "spark query",
     "bool_and": "spark AND query",
     "group_or": "filter AND (join OR merge)",
@@ -32,11 +36,21 @@ BENCH_QUERIES = {
     "field": "repo:src3",
     "size_range": "size:100..300",
     "sort_directive": "spark sort:size",
-    "multi_or_wand": "spark OR query OR join OR merge",
+    "multi_or": "spark OR query OR join OR merge",
     "phrase3": '"agg hash window"',
     "filtered_term": "repo:src3 AND spark",
-    "term_topk_bucket": "spark",
-    "multi_or_bucket": "spark OR query OR join OR merge",
+}
+
+# Forced-strategy diagnostics: the same query shapes routed through the
+# distributed block-max-WAND / bucket kernels regardless of what auto
+# would choose.  These exercise the executor fan-out paths (which pay the
+# ~0.09 s Spark job floor, BASELINE.md "Distributed-tier job floor") and
+# are reported separately as queries_forced / query_p95_forced_sec.
+FORCED_QUERIES = {
+    "term_topk_wand": ("spark", "wand"),
+    "multi_or_wand": ("spark OR query OR join OR merge", "wand"),
+    "term_topk_bucket": ("spark", "bucket"),
+    "multi_or_bucket": ("spark OR query OR join OR merge", "bucket"),
 }
 
 
@@ -90,35 +104,36 @@ def main() -> None:
         # reference JMH protocol: warmup iterations then averaged measured
         # iterations (IndexBenchmark.java:20-26 — 3 warmup + 5 measured);
         # we use 1 + 3 and also record the cold first-touch time
-        q_times = {}
-        q_cold = {}
-        for name, q in BENCH_QUERIES.items():
-            def run_once():
-                if name.endswith("_wand"):
-                    # lazy block-max WAND kernel, forced
-                    engine.search_topk(q, 10, strategy="wand")
-                elif name.endswith("_bucket"):
-                    # vectorized bucket tier, forced (auto would route
-                    # these to the local tier at this scale)
-                    engine.search_topk(q, 10, strategy="bucket")
-                else:
-                    engine.search_result(q, 10)  # auto routing
-
+        def timed(run_once):
             t1 = time.perf_counter()
             run_once()
-            q_cold[name] = round(time.perf_counter() - t1, 4)
+            cold = round(time.perf_counter() - t1, 4)
             laps = []
             for _ in range(3):
                 t2 = time.perf_counter()
                 run_once()
                 laps.append(time.perf_counter() - t2)
-            q_times[name] = round(sum(laps) / len(laps), 4)
+            return round(sum(laps) / len(laps), 4), cold
 
-        lat = sorted(q_times.values())
-        p95 = lat[max(0, int(round(0.95 * len(lat))) - 1)]
-        cold = sorted(q_cold.values())
-        cold_p95 = cold[max(0, int(round(0.95 * len(cold))) - 1)]
-        total = round(build_sec + sum(q_times.values()), 4)
+        def p95_of(times):
+            lat = sorted(times)
+            return lat[max(0, int(round(0.95 * len(lat))) - 1)]
+
+        q_times, q_cold = {}, {}
+        for name, q in BENCH_QUERIES.items():
+            q_times[name], q_cold[name] = timed(
+                lambda: engine.search_result(q, 10)  # auto routing
+            )
+
+        f_times, f_cold = {}, {}
+        for name, (q, strat) in FORCED_QUERIES.items():
+            f_times[name], f_cold[name] = timed(
+                lambda: engine.search_topk(q, 10, strategy=strat)
+            )
+
+        p95 = p95_of(q_times.values())
+        cold_p95 = p95_of(q_cold.values())
+        total = round(build_sec + sum(q_times.values()) + sum(f_times.values()), 4)
         print(
             json.dumps(
                 {
@@ -132,6 +147,9 @@ def main() -> None:
                     "query_p95_sec": p95,
                     "query_cold_p95_sec": cold_p95,
                     "queries_cold": q_cold,
+                    "queries_forced": f_times,
+                    "queries_forced_cold": f_cold,
+                    "query_p95_forced_sec": p95_of(f_times.values()),
                     "cpus": int(cpus),
                     "n_files": n_files,
                 }
