@@ -31,6 +31,45 @@ _ENGINE_CACHE: dict = {}
 # ---------------------------------------------------------------- SQL oracle
 _STOP_SQL = "(" + ",".join(f"'{w}'" for w in sorted(STOPWORDS)) + ")"
 
+# Token-3-gram Jaccard pair CTEs (shared by jaccard_pairs and the
+# connected-component cluster oracles; `jpair` yields doc_a < doc_b pairs
+# with jac >= 0.05 — mirrors lse.dedup.ngram_jaccard_pairs at sf scales
+# where the max_shingle_df cap never binds).
+_JACCARD_CTES = """arrs AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS arr
+              FROM documents
+            ),
+            raw AS (
+              SELECT doc_id, unnest(arr) AS term,
+                     unnest(generate_series(1, len(arr))) AS idx FROM arrs
+            ),
+            tok AS (
+              SELECT doc_id, term,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY idx) - 1 AS pos
+              FROM raw WHERE length(term) > 1
+            ),
+            sh AS (
+              SELECT DISTINCT k1.doc_id,
+                     k1.term || ' ' || k2.term || ' ' || k3.term AS shingle
+              FROM tok k1
+              JOIN tok k2 ON k2.doc_id = k1.doc_id AND k2.pos = k1.pos + 1
+              JOIN tok k3 ON k3.doc_id = k1.doc_id AND k3.pos = k1.pos + 2
+            ),
+            sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            jpair AS (
+              SELECT doc_a, doc_b,
+                     inter::DOUBLE / (sa.sz + sb.sz - inter) AS jac
+              FROM inter
+              JOIN sz sa ON sa.doc_id = doc_a
+              JOIN sz sb ON sb.doc_id = doc_b
+              WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.05
+            )"""
+
 # Full tokenizer (EnglishTokenizer semantics — the corpus is ASCII-only) +
 # BM25 pipeline as DuckDB CTEs. k1=1.2, b=0.75 (Constants.java:35-37).
 _TOK_CTE = f"""
@@ -537,6 +576,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
         )
 
+    def q_dedup_clusters(spark, sf):
+        """Transitive closure of the jaccard pair graph: duplicate CLUSTERS
+        (cluster_id = min reachable doc_id) via large-star/small-star
+        connected components — the mega-cluster representative pass that
+        complements the LSH bucket caps (lse/dedup.py:connected_components).
+        The DuckDB oracle computes the same closure with WITH RECURSIVE."""
+        from lse.dedup import duplicate_clusters, ngram_jaccard_pairs
+
+        d = spark.read.parquet(os.path.join(sf, "documents.parquet")).select(
+            "doc_id", F.col("text").alias("content")
+        )
+        pairs = ngram_jaccard_pairs(d, n=3, threshold=0.05)
+        return duplicate_clusters(pairs).select(
+            F.col("node").alias("doc_id"), "cluster_id", "cluster_size"
+        )
+
+    def q_dedup_cluster_keep(spark, sf):
+        """Corpus after keep-one-per-duplicate-cluster: representatives (min
+        doc_id per connected component) plus all unpaired docs."""
+        from lse.dedup import dedup_by_clusters, ngram_jaccard_pairs
+
+        d = spark.read.parquet(os.path.join(sf, "documents.parquet")).select(
+            "doc_id", F.col("text").alias("content")
+        )
+        pairs = ngram_jaccard_pairs(d, n=3, threshold=0.05)
+        return dedup_by_clusters(d, pairs).select("doc_id")
+
     def q_lang_id(spark, sf):
         from lse.textops import add_language_id
 
@@ -835,6 +901,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "image_features": q_image_features,
         "jaccard_pairs": q_jaccard_pairs,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_cluster_keep": q_dedup_cluster_keep,
         "lang_id": q_lang_id,
         "token_counts": q_token_counts,
         # golden-fixture oracle entries (independent driver-side replicas
@@ -1107,39 +1175,40 @@ def oracle_sql() -> dict[str, str]:
                             * sqrt(list_dot_product(q.e, q.e))), 4) AS cos
             FROM embeddings CROSS JOIN q
             ORDER BY cos DESC, vec_id ASC LIMIT 20""",
-        "jaccard_pairs": """
-            WITH arrs AS (
-              SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS arr
-              FROM documents
+        "jaccard_pairs": f"""
+            WITH {_JACCARD_CTES}
+            SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM jpair""",
+        "dedup_clusters": f"""
+            WITH RECURSIVE {_JACCARD_CTES},
+            edges AS (
+              SELECT doc_a AS u, doc_b AS v FROM jpair
+              UNION
+              SELECT doc_b, doc_a FROM jpair
             ),
-            raw AS (
-              SELECT doc_id, unnest(arr) AS term,
-                     unnest(generate_series(1, len(arr))) AS idx FROM arrs
+            walk(node, reach) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+              UNION
+              SELECT w.node, e.v FROM walk w JOIN edges e ON e.u = w.reach
             ),
-            tok AS (
-              SELECT doc_id, term,
-                     row_number() OVER (PARTITION BY doc_id ORDER BY idx) - 1 AS pos
-              FROM raw WHERE length(term) > 1
+            comp AS (SELECT node, min(reach) AS cluster_id FROM walk GROUP BY node),
+            csz AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY 1)
+            SELECT node AS doc_id, comp.cluster_id, cluster_size
+            FROM comp JOIN csz ON comp.cluster_id = csz.cluster_id""",
+        "dedup_cluster_keep": f"""
+            WITH RECURSIVE {_JACCARD_CTES},
+            edges AS (
+              SELECT doc_a AS u, doc_b AS v FROM jpair
+              UNION
+              SELECT doc_b, doc_a FROM jpair
             ),
-            sh AS (
-              SELECT DISTINCT k1.doc_id,
-                     k1.term || ' ' || k2.term || ' ' || k3.term AS shingle
-              FROM tok k1
-              JOIN tok k2 ON k2.doc_id = k1.doc_id AND k2.pos = k1.pos + 1
-              JOIN tok k3 ON k3.doc_id = k1.doc_id AND k3.pos = k1.pos + 2
+            walk(node, reach) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+              UNION
+              SELECT w.node, e.v FROM walk w JOIN edges e ON e.u = w.reach
             ),
-            sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-            inter AS (
-              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-              GROUP BY 1, 2
-            )
-            SELECT doc_a, doc_b,
-                   round(inter::DOUBLE / (sa.sz + sb.sz - inter), 6) AS jaccard
-            FROM inter
-            JOIN sz sa ON sa.doc_id = doc_a
-            JOIN sz sb ON sb.doc_id = doc_b
-            WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.05""",
+            comp AS (SELECT node, min(reach) AS cluster_id FROM walk GROUP BY node)
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> cluster_id)""",
         "quality_score": f"""
             WITH t AS (
               SELECT doc_id,

@@ -484,3 +484,133 @@ def embedding_near_dups(
         .filter(F.col("cosine") >= threshold)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+# ------------------------------------------------- connected components
+def _canon_edges(pairs: DataFrame, a: str, b: str) -> DataFrame:
+    """Undirected edge set canonicalized to (u, v) with u > v, self-loops
+    dropped, deduped."""
+    e = pairs.select(
+        F.greatest(F.col(a), F.col(b)).cast("long").alias("u"),
+        F.least(F.col(a), F.col(b)).cast("long").alias("v"),
+    )
+    return e.filter(F.col("u") != F.col("v")).distinct()
+
+
+def connected_components(
+    pairs: DataFrame,
+    a: str = "doc_a",
+    b: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) for every node in the duplicate-pair edge set;
+    ``component`` is the minimum node id reachable from ``node``.
+
+    This is the representative pass VERDICT r4 prescribed for mega-clusters
+    that LSH bucket caps route to star pairs: transitively close the pair
+    graph so keep-one-per-cluster dedup removes a whole near-dup cluster,
+    not just directly-paired docs.
+
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC 2014) — each round
+    is two groupBy-min shuffles over the CURRENT edge set (which only
+    shrinks toward the star forest), and the round count is O(log² n)
+    INDEPENDENT of graph diameter. Naive min-label propagation needs
+    O(diameter) rounds — a chain of incrementally-edited boilerplate docs
+    (realistic at 100 TB) makes that O(n); star contraction does not care.
+    Lineage is truncated with localCheckpoint each round so the iterative
+    plan does not grow (and Catalyst re-analysis stays O(1) per round).
+
+    Convergence is detected by (count, xor-of-hashes) fingerprint equality
+    of the canonical edge set — both computed in the same tiny aggregate
+    job. ``max_iter`` is a backstop (raises, never silently truncates).
+    """
+    edges = _canon_edges(pairs, a, b).localCheckpoint()
+
+    def fingerprint(e: DataFrame):
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                # bit_xor is order-independent → deterministic across
+                # partitionings; hash collisions are backstopped by count
+                F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)
+            ).alias("x"),
+        ).first()
+        return (row["n"], row["x"])
+
+    fp = fingerprint(edges)
+    for _ in range(max_iter):
+        # large-star: attach every strictly-larger neighbor of u to
+        # min(Γ(u) ∪ {u}); processed over the symmetrized edge set
+        sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        lmin = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            sym.join(lmin, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: attach u and all smaller neighbors to min(Γ≤(u))
+        smin = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(smin, "u")
+            .select(F.col("v").alias("n"), F.col("m"))
+            .union(smin.select(F.col("u").alias("n"), F.col("m")))
+            .filter(F.col("n") != F.col("m"))
+            .select(F.col("n").alias("u"), F.col("m").alias("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        edges = small
+        new_fp = fingerprint(edges)
+        if new_fp == fp:
+            break
+        fp = new_fp
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"(edge fingerprint still changing: {fp} -> {new_fp})"
+        )
+    # converged edge set is a star forest: (child, root) with root = min
+    # of the component; roots label themselves
+    children = edges.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = edges.select(F.col("v").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    return children.unionByName(roots)
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    a: str = "doc_a",
+    b: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, cluster_id, cluster_size) per doc in any duplicate cluster —
+    the transitive closure of the pair graph, cluster_id = min doc id."""
+    comp = connected_components(pairs, a=a, b=b, max_iter=max_iter)
+    sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return comp.join(sizes, "component").select(
+        "node", F.col("component").alias("cluster_id"), "cluster_size"
+    )
+
+
+def dedup_by_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    a: str = "doc_a",
+    b: str = "doc_b",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep one representative (min doc id) per duplicate CLUSTER plus all
+    unpaired docs. Non-representative cluster members are dropped via a
+    broadcast-eligible anti-join on the (small) non-representative set —
+    the corpus-sized side never shuffles."""
+    comp = connected_components(pairs, a=a, b=b)
+    drop = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")
