@@ -770,6 +770,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "split", F.col("split_bucket").cast("long").alias("split_bucket")
         )
 
+    def q_stratified_sample(spark, sf):
+        """Per-stratum deterministic sampling (corpus-mixing primitive):
+        downsample 'en' to 30%, 'zh' to 50%, keep the rest — the keep/drop
+        decision is md5(content) mod 10000 vs the stratum's rate, fully
+        transcribed in the DuckDB oracle."""
+        from lse.textops import stratified_sample
+
+        d = spark.read.parquet(os.path.join(sf, "documents.parquet")).select(
+            "doc_id", F.col("text").alias("content"), "lang"
+        )
+        return stratified_sample(
+            d, {"en": 0.3, "zh": 0.5}, strata_col="lang"
+        ).select("doc_id", "lang")
+
     def q_redact_pii(spark, sf):
         """PII scrubbing pass: plant a deterministic email/IP/number tail on
         every doc, redact, and compare the full redacted text against the
@@ -917,6 +931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "video_features": q_video_features,
         "train_val_split": q_train_val_split,
+        "stratified_sample": q_stratified_sample,
         "ngram_counts": q_ngram_counts,
         "pack_ids": q_pack_ids,
         "pack_sequences": q_pack_sequences,
@@ -1044,6 +1059,11 @@ def oracle_sql() -> dict[str, str]:
                    (('0x' || substr(md5(text), 1, 8))::UBIGINT % 100)::BIGINT
                      AS split_bucket
             FROM documents""",
+        "stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE ('0x' || substr(md5(text), 1, 8))::UBIGINT % 10000
+                  < CASE lang WHEN 'en' THEN 3000 WHEN 'zh' THEN 5000
+                              ELSE 10000 END""",
         "redact_pii": """
             SELECT doc_id,
                    regexp_replace(

@@ -204,3 +204,35 @@ def ngram_counts(
         .agg(F.count("*").alias("n_count"))
         .filter(F.col("n_count") >= min_count)
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict,
+    strata_col: str = "lang",
+    col: str = "content",
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling — the corpus-mixing primitive
+    (downsample over-represented languages/qualities, keep rare strata at
+    1.0) for assembling a training mix.
+
+    ``rates`` maps stratum value -> keep fraction in [0, 1]. A row is kept
+    iff md5(content) mod 10000 < rate·10000, so the decision is a pure
+    function of the CONTENT (same scheme as :func:`add_split`): exact
+    duplicates sample identically, re-runs are reproducible with no RNG
+    state coordinated across executors, and composing with the content-hash
+    train/val split stays leakage-safe. The rate table ships as a literal
+    `create_map` — a whole-stage-codegen expression, not even a broadcast
+    join, so the corpus-sized side never shuffles."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(col)), 1, 8), 16, 10).cast("long") % 10000
+    )
+    pairs = []
+    for k, v in rates.items():
+        pairs += [F.lit(k), F.lit(int(round(float(v) * 10000)))]
+    bps = F.coalesce(
+        F.create_map(*pairs)[F.col(strata_col)] if pairs else F.lit(None).cast("int"),
+        F.lit(int(round(float(default_rate) * 10000))),
+    )
+    return df.filter(bucket < bps)

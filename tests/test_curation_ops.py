@@ -58,3 +58,51 @@ def test_redact_pii_cases(spark, text, expect):
 
     out = redact_pii(_docs(spark, [(1, text)])).first()["redacted"]
     assert out == expect
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    from lse.textops import stratified_sample
+
+    rows = [
+        (i, f"body {i}", "en" if i % 2 == 0 else "fr") for i in range(2000)
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, content string, lang string")
+    out1 = sorted(
+        r["doc_id"]
+        for r in stratified_sample(d, {"en": 0.25}, strata_col="lang").collect()
+    )
+    out2 = sorted(
+        r["doc_id"]
+        for r in stratified_sample(d, {"en": 0.25}, strata_col="lang").collect()
+    )
+    assert out1 == out2  # pure function of content — no RNG state
+    kept = stratified_sample(d, {"en": 0.25}, strata_col="lang").groupBy(
+        "lang"
+    ).count().collect()
+    by_lang = {r["lang"]: r["count"] for r in kept}
+    assert by_lang["fr"] == 1000  # default rate 1.0 keeps the whole stratum
+    assert 150 <= by_lang["en"] <= 350  # ~25% of 1000, md5-uniform
+
+
+def test_stratified_sample_duplicate_consistency(spark):
+    # exact duplicate contents sample identically even across strata rates
+    from lse.textops import stratified_sample
+
+    rows = [(i, f"shared body {i % 30}", "en") for i in range(300)]
+    d = spark.createDataFrame(rows, "doc_id long, content string, lang string")
+    kept = stratified_sample(d, {"en": 0.5}, strata_col="lang").select(
+        "doc_id", "content"
+    ).collect()
+    kept_contents = {r["content"] for r in kept}
+    # every row whose content was kept once is kept every time
+    assert len(kept) == sum(1 for i in range(300) if f"shared body {i % 30}" in kept_contents)
+
+
+def test_stratified_sample_zero_and_full_rates(spark):
+    from lse.textops import stratified_sample
+
+    rows = [(i, f"b {i}", "zh") for i in range(50)]
+    d = spark.createDataFrame(rows, "doc_id long, content string, lang string")
+    assert stratified_sample(d, {"zh": 0.0}, strata_col="lang").count() == 0
+    assert stratified_sample(d, {"zh": 1.0}, strata_col="lang").count() == 50
+    assert stratified_sample(d, {}, strata_col="lang", default_rate=0.0).count() == 0
