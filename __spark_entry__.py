@@ -353,6 +353,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_phrase(spark, sf):
         return _r6(_searched(spark, sf, '"table scan"'))
 
+    def q_wildcard(spark, sf):
+        """Glob term query (beyond-reference: reference PrefixQuery stops
+        at trailing star) — per-doc BM25 sum over terms matching s*k;
+        oracle is the scored CTE filtered by LIKE 's%k'."""
+        eng = _engine(spark, sf)
+        return _r6(eng.wildcard_scores("s*k"))
+
     def q_field_repo(spark, sf):
         return _searched(spark, sf, "repo:src3")
 
@@ -892,6 +899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "or_query": q_or,
         "not_query": q_not,
         "prefix_query": q_prefix,
+        "wildcard_query": q_wildcard,
         "phrase_query": q_phrase,
         "field_repo": q_field_repo,
         "size_range": q_size_range,
@@ -1099,6 +1107,9 @@ def oracle_sql() -> dict[str, str]:
         "prefix_query": _TOK_CTE
         + """SELECT doc_id, round(sum(score), 6) AS score FROM scored
              WHERE term LIKE 'jo%' GROUP BY doc_id""",
+        "wildcard_query": _TOK_CTE
+        + """SELECT doc_id, round(sum(score), 6) AS score FROM scored
+             WHERE term LIKE 's%k' GROUP BY doc_id""",
         "phrase_query": _TOK_CTE
         + """, matched AS (
                SELECT DISTINCT k1.doc_id FROM kept k1

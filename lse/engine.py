@@ -980,6 +980,86 @@ class SearchEngine:
             return None
         return [r["term"] for r in rows]
 
+    # ------------------------------------------------------------ wildcard
+    @staticmethod
+    def _wildcard_regex(pattern: str) -> str:
+        """Glob ('*' only) → anchored regex, identical under Python re and
+        Spark's Java rlike (segments are re.escape'd literals)."""
+        import re as _re
+
+        return "^" + ".*".join(_re.escape(s) for s in pattern.split("*")) + "$"
+
+    def _expand_wildcard(self, pattern: str, cap: int = 512) -> Optional[List[str]]:
+        """Dictionary expansion of a glob pattern. The scan is anchored on
+        the literal prefix before the first '*' (so 'sp*k' touches the 'sp'
+        dictionary range, not the vocabulary); leading-star patterns scan
+        the whole in-memory dictionary. None = over cap or no local
+        dictionary (the distributed rlike path serves it instead — at a
+        10^8-term vocabulary a driver-side expansion is the wrong plan)."""
+        import re as _re
+
+        rx = _re.compile(self._wildcard_regex(pattern))
+        pre = pattern.split("*", 1)[0]
+        if not self.local._load_dictionary():
+            return None
+        arr = self.local._dict_terms
+        a = int(np.searchsorted(arr, pre, side="left"))
+        b = int(np.searchsorted(arr, pre + "￿", side="left")) if pre else len(arr)
+        out = [str(t) for t in arr[a:b] if rx.match(str(t))]
+        return None if len(out) > cap else out
+
+    def wildcard_scores(self, pattern: str) -> DataFrame:
+        """DataFrame(doc_id, score) for a glob term pattern — per-doc BM25
+        sum over all matching terms (PrefixQuery scoring generalized,
+        QueryEngine.java:244-259; beyond-reference: the reference stops at
+        trailing-star prefixes). Distributed plan: postings pruned by the
+        anchored literal prefix (pushes to the parquet scan like the
+        Prefix compiler path) then rlike on the dictionary-sorted rows —
+        never a driver-side term list."""
+        p = pattern.lower().strip()
+        if not p or p.replace("*", "") == "":
+            return self._empty()
+        rows = self.postings
+        pre = p.split("*", 1)[0]
+        if pre:
+            rows = rows.filter(F.col("term").startswith(pre))
+        rows = rows.filter(F.col("term").rlike(self._wildcard_regex(p)))
+        return (
+            self._decoded(rows)
+            .select("doc_id", self._score_expr().alias("score"))
+            .groupBy("doc_id")
+            .agg(F.sum("score").alias("score"))
+        )
+
+    def search_wildcard(
+        self, pattern: str, limit: int = 10
+    ) -> Tuple[List[Tuple[int, float]], int]:
+        """(top-k [(doc_id, score)], totalMatches) for a glob term query
+        ('sp*k', '*tion', 'a*b*c'). Small expansions (≤512 dictionary
+        terms) are rewritten to an OR-group DSL string and served through
+        the normal tier routing — local numpy tier, plan memo and all;
+        over-cap or dictionary-less cases run the distributed
+        :meth:`wildcard_scores` plan."""
+        p = pattern.lower().strip()
+        if not p or p.replace("*", "") == "":
+            return [], 0
+        if "*" not in p:
+            return self.search_result(p, limit)
+        terms = self._expand_wildcard(p)
+        if terms is not None:
+            if not terms:
+                return [], 0
+            # dictionary terms are tokenizer-emitted [a-z0-9]+ — always
+            # lexable as DSL terms, so the OR-group string is safe
+            return self.search_result(" OR ".join(terms), limit)
+        scores = self.wildcard_scores(p).cache()
+        try:
+            total = scores.count()
+            top = scores.orderBy(F.desc("score"), F.asc("doc_id")).take(limit)
+            return [(int(r["doc_id"]), float(r["score"])) for r in top], total
+        finally:
+            scores.unpersist()
+
     def cnf_groups(self, node: Node) -> Optional[List[List[str]]]:
         """AND-of-OR-groups normalization of a pure term tree (with
         multiplicity — reference score-sum semantics). Covers a single term

@@ -106,3 +106,58 @@ def test_search_with_snippets_miss(engine_and_oracle):
     engine, _ = engine_and_oracle
     hits, total = engine.search_with_snippets("zzzmissingterm", 5)
     assert hits == [] and total == 0
+
+
+WILDCARD_PATTERNS = ["ja*a", "*ing", "c*f*g", "java*", "zz*zz", "*", ""]
+
+
+@pytest.mark.parametrize("pattern", WILDCARD_PATTERNS)
+def test_wildcard_routes_agree(engine_and_oracle, pattern):
+    """search_wildcard's dictionary-expansion route must equal the
+    distributed rlike plan (wildcard_scores) — same matched docs, same
+    totalMatches, scores ±1e-9; degenerate patterns ('', '*') are empty."""
+    from pyspark.sql import functions as F
+
+    engine, _ = engine_and_oracle
+    top_a, tot_a = engine.search_wildcard(pattern, 10)
+    if not pattern.replace("*", ""):
+        assert (top_a, tot_a) == ([], 0)
+        return
+    sc = engine.wildcard_scores(pattern).cache()
+    try:
+        tot_b = sc.count()
+        top_b = [
+            (int(r["doc_id"]), float(r["score"]))
+            for r in sc.orderBy(F.desc("score"), F.asc("doc_id")).take(10)
+        ]
+    finally:
+        sc.unpersist()
+    assert tot_a == tot_b, pattern
+    da, db = dict(top_a), dict(top_b)
+    assert set(da) == set(db), pattern
+    for k in da:
+        assert da[k] == pytest.approx(db[k], abs=1e-9), (pattern, k)
+
+
+def test_wildcard_star_only_prefix_equivalence(engine_and_oracle):
+    """A trailing-star glob must equal the DSL PrefixQuery exactly."""
+    engine, oracle = engine_and_oracle
+    got, got_total = engine.search_wildcard("config*", 10)
+    want, want_total = oracle.search("config*", limit=10)
+    assert got_total == want_total
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (gd, gs), (_, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, abs=1e-9)
+
+
+def test_wildcard_over_cap_falls_back_distributed(engine_and_oracle):
+    """With cap 0 the expansion declines and the distributed plan serves —
+    results identical to the expansion route."""
+    engine, _ = engine_and_oracle
+    assert engine._expand_wildcard("ja*a", cap=0) is None
+    top_a, tot_a = engine.search_wildcard("ja*a", 10)
+    exp = engine._expand_wildcard("ja*a")
+    assert exp  # normal cap expands fine
+    top_b, tot_b = engine.search_result(" OR ".join(exp), 10)
+    assert tot_a == tot_b
+    assert dict(top_a).keys() == dict(top_b).keys()
