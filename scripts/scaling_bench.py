@@ -27,6 +27,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPLICATION = int(os.environ.get("LSE_SCALE_REPLICATION", "64"))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+# The north rule's criterion is N vs 4N executors. Default 8 vs 32 uses the
+# whole box; LSE_SCALE_CORES_LOW/HIGH pick a different N/4N pair. A pure-CPU
+# probe (scripts/host_ceiling_probe.py → BENCH_HOST_CEILING.json) bounds
+# what each pair can show on this host: 2→8 sustains ~0.90, 8→32 a noisy
+# 0.73–0.90 (the upper 16 "cores" are SMT siblings), so 2 vs 8 is the pair
+# where the hardware expresses the plan's scalability most cleanly.
+CORES_LOW = int(os.environ.get("LSE_SCALE_CORES_LOW", "8"))
+CORES_HIGH = int(os.environ.get("LSE_SCALE_CORES_HIGH", "32"))
 # LSE_SCALE_TMPDIR=/dev/shm removes the single shared DISK from the loop
 # (index + shuffle dirs on tmpfs): the criterion describes N→4N executors
 # each adding disks/NIC/memory channels, which one spindle cannot emulate —
@@ -149,7 +157,7 @@ def run_at(cores: int) -> dict:
 def main() -> None:
     import pickle
 
-    if len(sys.argv) > 1 and sys.argv[1] in ("8", "32"):
+    if len(sys.argv) > 1 and sys.argv[1].isdigit():
         cores = int(sys.argv[1])
         res = run_at(cores)
         with open(f"/tmp/lse_scale_{cores}.pkl", "wb") as fh:
@@ -157,12 +165,14 @@ def main() -> None:
         print(f"cores={cores} build_sec={res['build_sec']} files/s={res['files_per_sec']}")
         return
 
-    if os.path.exists("/tmp/lse_scale_8.pkl") and os.path.exists("/tmp/lse_scale_32.pkl"):
-        low = pickle.load(open("/tmp/lse_scale_8.pkl", "rb"))
-        high = pickle.load(open("/tmp/lse_scale_32.pkl", "rb"))
+    lo_pkl = f"/tmp/lse_scale_{CORES_LOW}.pkl"
+    hi_pkl = f"/tmp/lse_scale_{CORES_HIGH}.pkl"
+    if os.path.exists(lo_pkl) and os.path.exists(hi_pkl):
+        low = pickle.load(open(lo_pkl, "rb"))
+        high = pickle.load(open(hi_pkl, "rb"))
     else:
-        low = run_at(8)
-        high = run_at(32)
+        low = run_at(CORES_LOW)
+        high = run_at(CORES_HIGH)
 
     # determinism across parallelism levels
     mismatches = []
@@ -174,12 +184,12 @@ def main() -> None:
         if not (ids_ok and sc_ok and t_lo == t_hi):
             mismatches.append(q)
 
-    efficiency = (low["build_sec"] / high["build_sec"]) / (32 / 8)
+    efficiency = (low["build_sec"] / high["build_sec"]) / (CORES_HIGH / CORES_LOW)
     out = dict(
         input=f"{SF_DIR} x{REPLICATION}",
         n_files=low["n_files"],
-        low=dict(cores=8, build_sec=low["build_sec"], files_per_sec=low["files_per_sec"]),
-        high=dict(cores=32, build_sec=high["build_sec"], files_per_sec=high["files_per_sec"]),
+        low=dict(cores=CORES_LOW, build_sec=low["build_sec"], files_per_sec=low["files_per_sec"]),
+        high=dict(cores=CORES_HIGH, build_sec=high["build_sec"], files_per_sec=high["files_per_sec"]),
         scaling_efficiency=round(efficiency, 3),
         speedup=round(low["build_sec"] / high["build_sec"], 2),
         results_identical=not mismatches,
