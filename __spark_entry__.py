@@ -810,6 +810,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return redact_pii(d).select("doc_id", "redacted")
 
+    def q_tfidf_keywords(spark, sf):
+        """Per-doc top-3 smoothed tf-idf keywords (corpus-exploration
+        signal): explode → tf hash-agg → df hash-agg → broadcast-N join →
+        doc-partitioned top-k window, all JVM codegen; deterministic
+        term-ascending tie-break. Full DuckDB transcription."""
+        from lse.textops import tfidf_keywords
+
+        d = spark.read.parquet(os.path.join(sf, "documents.parquet")).select(
+            "doc_id", F.col("text").alias("content")
+        )
+        return tfidf_keywords(d, k=3)
+
+    def q_unigram_logprob(spark, sf):
+        """Corpus-self unigram LM mean log-prob per doc (CCNet/KenLM-style
+        perplexity proxy). The per-doc Σ tf·ln(p) is a sequential fold in
+        ascending-term order on BOTH engines (F.aggregate over a sorted
+        struct array vs sum(... ORDER BY term)) so the float chain is
+        identical. Full DuckDB transcription."""
+        from lse.textops import unigram_logprob
+
+        d = spark.read.parquet(os.path.join(sf, "documents.parquet")).select(
+            "doc_id", F.col("text").alias("content")
+        )
+        return unigram_logprob(d)
+
+    def q_repetition_stats(spark, sf):
+        """Gopher-style repetition gates (duplicate-line fraction,
+        duplicate-line char fraction, top-word fraction): integer aggs +
+        single divisions, exactly reproducible cross-engine. Full DuckDB
+        transcription."""
+        from lse.textops import repetition_stats
+
+        d = spark.read.parquet(os.path.join(sf, "documents.parquet")).select(
+            "doc_id", F.col("text").alias("content")
+        )
+        return repetition_stats(d)
+
     def q_video_features(spark, sf):  # golden-fixture oracle (oracle_ops)
         _require_goldens(sf)
         """Real Y4M decode end-to-end: deterministic synthetic frames
@@ -941,6 +978,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_val_split": q_train_val_split,
         "stratified_sample": q_stratified_sample,
         "ngram_counts": q_ngram_counts,
+        "tfidf_keywords": q_tfidf_keywords,
+        "unigram_logprob": q_unigram_logprob,
+        "repetition_stats": q_repetition_stats,
         "pack_ids": q_pack_ids,
         "pack_sequences": q_pack_sequences,
         "redact_pii": q_redact_pii,
@@ -1060,6 +1100,95 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT ngram, count(*) AS n_count
             FROM grams GROUP BY 1 HAVING count(*) >= 3""",
+        "tfidf_keywords": """
+            WITH arrs AS (
+              SELECT doc_id, list_filter(
+                       regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       t -> length(t) > 1) AS toks
+              FROM documents
+            ),
+            tok AS (
+              SELECT doc_id, unnest(toks) AS term FROM arrs
+            ),
+            tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM tok
+              WHERE term <> '' GROUP BY 1, 2
+            ),
+            dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            scored AS (
+              SELECT doc_id, term, tf, df,
+                     tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0) AS tfidf
+              FROM tf JOIN dfreq USING (term) CROSS JOIN n
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                       PARTITION BY doc_id ORDER BY tfidf DESC, term) AS kw_rank
+              FROM scored
+            )
+            SELECT doc_id, kw_rank, term, tf, df, round(tfidf, 6) AS tfidf
+            FROM ranked WHERE kw_rank <= 3""",
+        "unigram_logprob": """
+            WITH arrs AS (
+              SELECT doc_id, list_filter(
+                       regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       t -> length(t) > 1) AS toks
+              FROM documents
+            ),
+            tok AS (SELECT doc_id, unnest(toks) AS term FROM arrs),
+            tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM tok
+              WHERE term <> '' GROUP BY 1, 2
+            ),
+            ctf AS (SELECT term, sum(tf)::BIGINT AS ctf FROM tf GROUP BY 1),
+            tot AS (SELECT sum(ctf)::BIGINT AS total FROM ctf)
+            SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
+                   round(sum(tf * ln(ctf / (total * 1.0)) ORDER BY term)
+                         / sum(tf), 6) AS avg_logprob
+            FROM tf JOIN ctf USING (term) CROSS JOIN tot
+            GROUP BY doc_id""",
+        "repetition_stats": """
+            WITH lines AS (
+              SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+              FROM documents
+            ),
+            per_line AS (
+              SELECT doc_id, line, count(*) AS cnt, length(line) AS len
+              FROM lines GROUP BY 1, 2
+            ),
+            line_stats AS (
+              SELECT doc_id,
+                     sum(cnt)::BIGINT AS n_lines,
+                     count(*) AS n_distinct,
+                     sum(cnt * len)::BIGINT AS n_chars,
+                     sum(CASE WHEN cnt > 1 THEN cnt * len ELSE 0 END)::BIGINT
+                       AS dup_chars
+              FROM per_line GROUP BY 1
+            ),
+            arrs AS (
+              SELECT doc_id, list_filter(
+                       regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       t -> length(t) > 1) AS toks
+              FROM documents
+            ),
+            tok AS (SELECT doc_id, unnest(toks) AS term FROM arrs),
+            tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM tok
+              WHERE term <> '' GROUP BY 1, 2
+            ),
+            tok_stats AS (
+              SELECT doc_id, max(tf) AS top_tf, sum(tf)::BIGINT AS n_toks
+              FROM tf GROUP BY 1
+            )
+            SELECT l.doc_id, l.n_lines,
+                   round((l.n_lines - l.n_distinct) / (l.n_lines * 1.0), 6)
+                     AS dup_line_frac,
+                   round(CASE WHEN l.n_chars > 0
+                              THEN l.dup_chars / (l.n_chars * 1.0)
+                              ELSE 0.0 END, 6) AS dup_char_frac,
+                   round(coalesce(t.top_tf / (t.n_toks * 1.0), 0.0), 6)
+                     AS top_word_frac
+            FROM line_stats l LEFT JOIN tok_stats t USING (doc_id)""",
         "train_val_split": """
             SELECT doc_id,
                    CASE WHEN ('0x' || substr(md5(text), 1, 8))::UBIGINT % 100 < 90

@@ -6,11 +6,14 @@ is Arrow-batched numpy.
 * add_quality       — length / punctuation / stopword-ratio quality score
 * add_token_counts  — whitespace tokens + a BPE-ish regex token estimate
 * fingerprints      — winnowing-style rolling-hash document fingerprints
+* tfidf_keywords    — per-doc top-k smoothed tf-idf keywords
+* unigram_logprob   — corpus-self unigram LM mean log-prob (perplexity proxy)
+* repetition_stats  — Gopher-style duplicate-line / top-word repetition signals
 """
 
 from __future__ import annotations
 
-from typing import Iterable
+from typing import Iterable, Optional
 
 import numpy as np
 import pandas as pd
@@ -203,6 +206,190 @@ def ngram_counts(
         .groupBy("ngram")
         .agg(F.count("*").alias("n_count"))
         .filter(F.col("n_count") >= min_count)
+    )
+
+
+def _word_tokens(col: str):
+    """The curation-op token definition (shared with :func:`ngram_counts` and
+    its DuckDB transcription): lowercase split on non-alphanumeric runs,
+    keep tokens of length > 1."""
+    toks = F.split(F.lower(F.col(col)), r"[^a-z0-9]+")
+    return F.filter(toks, lambda t: F.length(t) > 1)
+
+
+def term_frequencies(
+    df: DataFrame, col: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, term, tf) — the shared building block of the corpus
+    statistics below. Both :func:`tfidf_keywords` and
+    :func:`unigram_logprob` need this stream more than once (per-doc tf AND
+    a term-keyed rollup); Spark lineage recompute means each use re-scans
+    the source, so at scale compute it ONCE, ``persist(DISK_ONLY)`` or
+    write it to parquet, and pass it via the ``tf=`` parameter — one
+    tokenization pass instead of two or three."""
+    t = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(_word_tokens(col)).alias("term")
+    ).filter(F.col("term") != "")
+    return t.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    col: str = "content",
+    k: int = 5,
+    id_col: str = "doc_id",
+    tf: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Per-document top-k keywords by smoothed tf-idf
+    (``tf · (ln((N+1)/(df+1)) + 1)``, the sklearn-style smooth idf) —
+    the classic extractive keyword/topic signal for corpus exploration
+    and mixing decisions.
+
+    Scale shape: one explode + hash-agg to (doc, term, tf) — shuffle keyed
+    by content-derived uniform keys; the document-frequency table is a
+    second hash-agg over the SAME (doc,term)-distinct stream (map-side
+    partials absorb hot terms); N ships as a broadcast scalar; the df join
+    is term-keyed (broadcastable at moderate vocab, SMJ beyond); the top-k
+    window partitions by doc (uniform, bounded by doc length). Everything
+    is JVM whole-stage codegen — no Python in the plan. Ties break on term
+    ascending so ranks are deterministic across engines and runs. Pass a
+    persisted ``tf`` (see :func:`term_frequencies`) to avoid the double
+    source scan lineage recompute otherwise costs."""
+    from pyspark.sql import Window
+
+    if tf is None:
+        tf = term_frequencies(df, col=col, id_col=id_col)
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = df.select(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * (
+                F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+                + F.lit(1.0)
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("kw_rank", F.row_number().over(w))
+        .filter(F.col("kw_rank") <= k)
+        .select(
+            "doc_id", "kw_rank", "term", "tf", "df",
+            F.round("tfidf", 6).alias("tfidf"),
+        )
+    )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    col: str = "content",
+    id_col: str = "doc_id",
+    tf: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Per-document mean token log-probability under the corpus's OWN
+    unigram model — the CCNet/KenLM-style perplexity proxy: boilerplate and
+    natural prose score high, random identifiers / minified blobs score
+    low, making it the standard cheap LM-quality gate before an expensive
+    model pass.
+
+    ``avg_logprob = Σ_t tf(d,t)·ln(ctf(t)/total) / Σ_t tf(d,t)``
+
+    Float-determinism: the per-doc Σ is a SEQUENTIAL FOLD over terms in
+    ascending order (``sort_array(collect_list(struct(term,…)))`` +
+    ``F.aggregate``), and the DuckDB oracle uses ``sum(… ORDER BY term)`` —
+    both engines perform the identical IEEE addition chain, so results are
+    bit-comparable (a plain ``sum()`` would be partial-aggregation-order
+    dependent). The collect_list is bounded by per-doc vocabulary, not
+    corpus size. Corpus totals ship as one broadcast scalar row. Pass a
+    persisted ``tf`` (see :func:`term_frequencies`) to avoid the triple
+    source scan lineage recompute otherwise costs."""
+    if tf is None:
+        tf = term_frequencies(df, col=col, id_col=id_col)
+    ctf = tf.groupBy("term").agg(F.sum("tf").alias("ctf"))
+    tot = ctf.agg(F.sum("ctf").alias("total"))
+    contrib = (
+        tf.join(ctf, "term")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("lp", F.col("tf") * F.log(F.col("ctf") / F.col("total")))
+    )
+    per_doc = contrib.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("term", "lp"))).alias("arr"),
+        F.sum("tf").alias("n_tokens"),
+    )
+    summed = per_doc.select(
+        "doc_id",
+        "n_tokens",
+        F.aggregate(
+            "arr", F.lit(0.0), lambda acc, s: acc + s["lp"]
+        ).alias("sum_lp"),
+    )
+    return summed.select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("sum_lp") / F.col("n_tokens"), 6).alias("avg_logprob"),
+    )
+
+
+def repetition_stats(
+    df: DataFrame, col: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021,
+    §A1.1 'repetitious text'): per doc —
+
+    * ``n_lines``        — physical lines ('\\n'-split)
+    * ``dup_line_frac``  — 1 − distinct/total lines (fraction of line slots
+                           occupied by a repeat of another line)
+    * ``dup_char_frac``  — fraction of characters living in lines that occur
+                           more than once
+    * ``top_word_frac``  — occurrences of the single most frequent token ÷
+                           total tokens (tokens as in :func:`ngram_counts`)
+
+    Scale shape: two explode+hash-agg pipelines (lines, tokens) keyed by
+    (doc, value) — content-derived uniform keys, map-side partials — then a
+    doc-keyed agg and one doc-keyed join. Ratios are single divisions of
+    integer aggregates, so values are exactly reproducible cross-engine."""
+    lines = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(col), r"\n")).alias("line"),
+    )
+    per_line = lines.groupBy("doc_id", "line").agg(
+        F.count("*").alias("cnt"), F.length("line").alias("len")
+    )
+    line_stats = per_line.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_lines"),
+        F.count("*").alias("n_distinct"),
+        F.sum(F.col("cnt") * F.col("len")).alias("n_chars"),
+        F.sum(
+            F.when(F.col("cnt") > 1, F.col("cnt") * F.col("len")).otherwise(0)
+        ).alias("dup_chars"),
+    )
+    tok_stats = (
+        term_frequencies(df, col=col, id_col=id_col)
+        .groupBy("doc_id")
+        .agg(F.max("tf").alias("top_tf"), F.sum("tf").alias("n_toks"))
+    )
+    joined = line_stats.join(tok_stats, "doc_id", "left")
+    return joined.select(
+        "doc_id",
+        "n_lines",
+        F.round(
+            (F.col("n_lines") - F.col("n_distinct"))
+            / F.col("n_lines").cast("double"),
+            6,
+        ).alias("dup_line_frac"),
+        F.round(
+            F.when(F.col("n_chars") > 0, F.col("dup_chars") / F.col("n_chars").cast("double"))
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_char_frac"),
+        F.round(
+            F.coalesce(F.col("top_tf") / F.col("n_toks").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("top_word_frac"),
     )
 
 

@@ -106,3 +106,69 @@ def test_stratified_sample_zero_and_full_rates(spark):
     assert stratified_sample(d, {"zh": 0.0}, strata_col="lang").count() == 0
     assert stratified_sample(d, {"zh": 1.0}, strata_col="lang").count() == 50
     assert stratified_sample(d, {}, strata_col="lang", default_rate=0.0).count() == 0
+
+
+# ------------------------------------------------ corpus-statistics ops (r5)
+_KW_CORPUS = [
+    (1, "apple banana apple"),
+    (2, "banana cherry"),
+    (3, "cherry cherry dates cherry"),
+]
+
+
+def test_tfidf_keywords_hand_computed(spark):
+    import math
+
+    from lse.textops import tfidf_keywords
+
+    out = tfidf_keywords(_docs(spark, _KW_CORPUS), k=2).collect()
+    got = {(r["doc_id"], r["kw_rank"]): (r["term"], r["tf"], r["df"], r["tfidf"])
+           for r in out}
+    idf1 = math.log(4 / 2) + 1   # df=1 terms (apple, dates), N=3
+    idf2 = math.log(4 / 3) + 1   # df=2 terms (banana, cherry)
+    assert got[(1, 1)][0] == "apple"
+    assert got[(1, 1)][3] == pytest.approx(round(2 * idf1, 6), abs=1e-9)
+    assert got[(1, 2)][0] == "banana"
+    # d2: banana and cherry tie exactly (tf=1, df=2) — term-asc break
+    assert got[(2, 1)][0] == "banana" and got[(2, 2)][0] == "cherry"
+    assert got[(3, 1)] == ("cherry", 3, 2, pytest.approx(round(3 * idf2, 6)))
+    assert got[(3, 2)][0] == "dates"
+
+
+def test_unigram_logprob_hand_computed(spark):
+    import math
+
+    from lse.textops import unigram_logprob
+
+    out = {r["doc_id"]: r for r in
+           unigram_logprob(_docs(spark, _KW_CORPUS)).collect()}
+    # ctf: apple 2, banana 2, cherry 4, dates 1; total 9
+    d2 = (math.log(2 / 9) + math.log(4 / 9)) / 2
+    assert out[2]["n_tokens"] == 2
+    assert out[2]["avg_logprob"] == pytest.approx(d2, abs=1e-6)
+    d1 = (2 * math.log(2 / 9) + math.log(2 / 9)) / 3
+    assert out[1]["avg_logprob"] == pytest.approx(d1, abs=1e-6)
+    d3 = (3 * math.log(4 / 9) + math.log(1 / 9)) / 4
+    assert out[3]["avg_logprob"] == pytest.approx(d3, abs=1e-6)
+
+
+def test_repetition_stats_hand_computed(spark):
+    from lse.textops import repetition_stats
+
+    d = _docs(spark, [
+        (1, "aa\nbb\naa\nccc\nccc"),   # dup lines: aa×2, ccc×2
+        (2, "unique lines only\nsecond line"),
+        (3, ""),                        # degenerate: one empty line
+    ])
+    out = {r["doc_id"]: r for r in repetition_stats(d).collect()}
+    r1 = out[1]
+    assert r1["n_lines"] == 5
+    assert r1["dup_line_frac"] == pytest.approx(2 / 5)       # 5 slots, 3 distinct
+    assert r1["dup_char_frac"] == pytest.approx(10 / 12)     # aa:4 + ccc:6 of 12
+    assert r1["top_word_frac"] == pytest.approx(2 / 5)       # aa tf=2 of 5 toks
+    r2 = out[2]
+    assert r2["dup_line_frac"] == 0.0 and r2["dup_char_frac"] == 0.0
+    assert r2["top_word_frac"] == pytest.approx(1 / 5)
+    r3 = out[3]
+    assert r3["n_lines"] == 1 and r3["dup_char_frac"] == 0.0
+    assert r3["top_word_frac"] == 0.0

@@ -84,6 +84,36 @@ def test_curation_ops_stay_jvm_side(spark):
         # post-execution; EvalPython absence is the invariant)
 
 
+def test_corpus_stats_ops_stay_jvm_side(spark):
+    """tfidf_keywords / unigram_logprob / repetition_stats are pure JVM
+    plans (the ordered per-doc fold is F.aggregate — a codegen higher-order
+    function, not a UDF), and a precomputed tf table yields identical
+    results with no re-derivation of the token stream."""
+    from lse.textops import (
+        repetition_stats, term_frequencies, tfidf_keywords, unigram_logprob,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma alpha beta"), (2, "beta beta delta")],
+        "doc_id long, content string",
+    )
+    tf = term_frequencies(df)
+    for out in (
+        tfidf_keywords(df, k=2),
+        unigram_logprob(df),
+        repetition_stats(df),
+        tfidf_keywords(df, k=2, tf=tf),
+        unigram_logprob(df, tf=tf),
+    ):
+        assert "EvalPython" not in plan_of(out)
+    base = {tuple(r) for r in tfidf_keywords(df, k=2).collect()}
+    reused = {tuple(r) for r in tfidf_keywords(df, k=2, tf=tf).collect()}
+    assert base == reused
+    assert {tuple(r) for r in unigram_logprob(df).collect()} == {
+        tuple(r) for r in unigram_logprob(df, tf=tf).collect()
+    }
+
+
 def test_pack_ids_single_pandas_stage(spark):
     """Sequence packing's heavy pass is exactly ONE applyInPandas over the
     id-range parts — no window (single-partition) exchange anywhere."""
