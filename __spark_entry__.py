@@ -847,6 +847,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return repetition_stats(d)
 
+    def q_decontaminate(spark, sf):
+        """Benchmark decontamination: docs sharing any token 4-gram with a
+        deterministic 'benchmark' slice (doc_id % 37 == 0) are flagged;
+        n_hits counts distinct overlapping grams. The benchmark gram set is
+        explicitly broadcast — the corpus side never shuffles for the
+        probe. Full DuckDB transcription."""
+        from lse.textops import decontaminate
+
+        d = spark.read.parquet(os.path.join(sf, "documents.parquet")).select(
+            "doc_id", F.col("text").alias("content")
+        )
+        bench = d.filter(F.col("doc_id") % 37 == 0)
+        return decontaminate(d, bench, n=4)
+
     def q_video_features(spark, sf):  # golden-fixture oracle (oracle_ops)
         _require_goldens(sf)
         """Real Y4M decode end-to-end: deterministic synthetic frames
@@ -981,6 +995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_keywords": q_tfidf_keywords,
         "unigram_logprob": q_unigram_logprob,
         "repetition_stats": q_repetition_stats,
+        "decontaminate": q_decontaminate,
         "pack_ids": q_pack_ids,
         "pack_sequences": q_pack_sequences,
         "redact_pii": q_redact_pii,
@@ -1189,6 +1204,33 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(t.top_tf / (t.n_toks * 1.0), 0.0), 6)
                      AS top_word_frac
             FROM line_stats l LEFT JOIN tok_stats t USING (doc_id)""",
+        "decontaminate": """
+            WITH toks AS (
+              SELECT doc_id, list_filter(
+                       regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       t -> length(t) > 1) AS toks
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id,
+                     toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                             || ' ' || toks[i+3] AS ngram
+              FROM toks, unnest(generate_series(1, len(toks) - 3)) AS u(i)
+              WHERE len(toks) >= 4
+            ),
+            bench_grams AS (
+              SELECT DISTINCT ngram FROM grams WHERE doc_id % 37 = 0
+            ),
+            doc_grams AS (SELECT DISTINCT doc_id, ngram FROM grams),
+            hits AS (
+              SELECT doc_id, count(*) AS n_hits
+              FROM doc_grams JOIN bench_grams USING (ngram)
+              GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+                   coalesce(h.n_hits, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)""",
         "train_val_split": """
             SELECT doc_id,
                    CASE WHEN ('0x' || substr(md5(text), 1, 8))::UBIGINT % 100 < 90

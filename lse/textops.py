@@ -9,6 +9,7 @@ is Arrow-batched numpy.
 * tfidf_keywords    — per-doc top-k smoothed tf-idf keywords
 * unigram_logprob   — corpus-self unigram LM mean log-prob (perplexity proxy)
 * repetition_stats  — Gopher-style duplicate-line / top-word repetition signals
+* decontaminate     — benchmark n-gram overlap flagging (eval-leak filter)
 """
 
 from __future__ import annotations
@@ -186,6 +187,18 @@ def redact_pii(
     return df.withColumn(out, expr)
 
 
+def _token_ngrams(col: str, n: int):
+    """Array of space-joined token n-grams over the shared curation token
+    definition (lowercase alnum runs, length > 1) — a pure codegen
+    higher-order-function expression."""
+    toks = F.split(F.lower(F.col(col)), r"[^a-z0-9]+")
+    toks = F.filter(toks, lambda t: F.length(t) > 1)
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+
+
 def ngram_counts(
     df: DataFrame, col: str = "content", n: int = 2, min_count: int = 1
 ) -> DataFrame:
@@ -194,14 +207,8 @@ def ngram_counts(
     shingle sets). Pure JVM split/transform/explode + one hash-agg
     shuffle keyed by the n-gram itself (content-derived, uniform — no
     skew); at 100 TB this is the canonical count-table job."""
-    toks = F.split(F.lower(F.col(col)), r"[^a-z0-9]+")
-    toks = F.filter(toks, lambda t: F.length(t) > 1)
-    idx = F.when(
-        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
-    ).otherwise(F.array().cast("array<int>"))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
     return (
-        df.select(F.explode(grams).alias("ngram"))
+        df.select(F.explode(_token_ngrams(col, n)).alias("ngram"))
         .filter(F.col("ngram") != "")
         .groupBy("ngram")
         .agg(F.count("*").alias("n_count"))
@@ -390,6 +397,58 @@ def repetition_stats(
             F.coalesce(F.col("top_tf") / F.col("n_toks").cast("double"), F.lit(0.0)),
             6,
         ).alias("top_word_frac"),
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    col: str = "content",
+    bench_col: str = "content",
+    n: int = 13,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/PaLM-style n-gram overlap
+    filter): flag every training document that shares at least one token
+    ``n``-gram with a held-out evaluation set, so eval questions leaking
+    into the training mix can be dropped or audited. Returns
+    ``(doc_id, n_hits, contaminated)`` for ALL input docs — ``n_hits`` is
+    the count of DISTINCT benchmark n-grams the doc contains (order- and
+    multiplicity-insensitive, so it is stable across partitionings).
+
+    Scale shape: the benchmark gram set is distinct-aggregated and
+    explicitly ``broadcast()`` — eval suites are millions of grams at most,
+    orders of magnitude under the corpus — so the corpus-side stream
+    (explode + per-doc distinct grams) never shuffles for the probe: the
+    contamination join is a map-side broadcast hash semi-join, followed by
+    one doc-keyed hash-agg and a doc-keyed left join back to the id
+    universe. n=13 is the published convention; tests use smaller n on
+    synthetic corpora."""
+    bench_grams = (
+        benchmark.select(F.explode(_token_ngrams(bench_col, n)).alias("ngram"))
+        .filter(F.col("ngram") != "")
+        .distinct()
+    )
+    doc_grams = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.array_distinct(_token_ngrams(col, n))).alias("ngram"),
+        )
+        .filter(F.col("ngram") != "")
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "ngram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
+        )
     )
 
 

@@ -172,3 +172,35 @@ def test_repetition_stats_hand_computed(spark):
     r3 = out[3]
     assert r3["n_lines"] == 1 and r3["dup_char_frac"] == 0.0
     assert r3["top_word_frac"] == 0.0
+
+
+def test_decontaminate_hand_computed(spark):
+    from lse.textops import decontaminate
+
+    docs = _docs(spark, [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "quick brown fox jumps somewhere else entirely today"),
+        (3, "completely unrelated content about spark engines"),
+        (4, "brown fox jumps over fences and quick brown fox jumps again"),
+    ])
+    bench = _docs(spark, [(99, "a quick brown fox jumps testcase")])
+    # bench 3-grams (len>1 toks): "quick brown fox", "brown fox jumps",
+    # "fox jumps testcase"
+    out = {r["doc_id"]: r for r in decontaminate(docs, bench, n=3).collect()}
+    assert out[1]["n_hits"] == 2 and out[1]["contaminated"]
+    assert out[2]["n_hits"] == 2 and out[2]["contaminated"]
+    assert out[3]["n_hits"] == 0 and not out[3]["contaminated"]
+    # doc 4 contains both grams (each counted once despite repetition)
+    assert out[4]["n_hits"] == 2
+    # every input doc id appears exactly once
+    assert sorted(out) == [1, 2, 3, 4]
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    from lse.textops import decontaminate
+
+    docs = _docs(spark, [(i, f"alpha beta gamma {i}") for i in range(50)])
+    bench = _docs(spark, [(0, "alpha beta gamma zero")])
+    plan = decontaminate(docs, bench, n=2)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan[:2000]
+    assert "EvalPython" not in plan
