@@ -72,6 +72,35 @@ _JACCARD_CTES = """arrs AS (
 
 # Full tokenizer (EnglishTokenizer semantics — the corpus is ASCII-only) +
 # BM25 pipeline as DuckDB CTEs. k1=1.2, b=0.75 (Constants.java:35-37).
+# gaps-and-islands sessionization (30-min gap) — shared by the batch
+# `sessionize` entry and the stateful-streaming `stream_sessions` entry
+# (the streaming replay must converge to exactly this)
+_SESSION_SQL = """
+    WITH lagd AS (
+      SELECT user_id, event_id, ts, value,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_ts
+      FROM events
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN prev_ts IS NOT NULL
+                      AND epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                     THEN 1 ELSE 0 END AS new_sess
+      FROM lagd
+    ),
+    sess AS (
+      SELECT *, 1 + sum(new_sess) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id::BIGINT AS session_id,
+           count(*) AS n_events,
+           min(ts) AS start_ts, max(ts) AS end_ts,
+           (epoch_us(max(ts)) - epoch_us(min(ts)))::BIGINT AS duration_us,
+           sum(round(value * 100)::BIGINT) / 100.0 AS total_value
+    FROM sess GROUP BY 1, 2"""
+
 _TOK_CTE = f"""
 WITH arrs AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS arr FROM documents
@@ -847,6 +876,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return repetition_stats(d)
 
+    def q_sessionize(spark, sf):
+        """Gaps-and-islands sessionization over the events table (30-min
+        inactivity gap): one user-keyed window shuffle; value sums go
+        through integer cents so aggregates are order-independent. Full
+        DuckDB transcription (lag + cumulative-sum CTE)."""
+        from lse.events import sessionize
+
+        ev = spark.read.parquet(os.path.join(sf, "events.parquet"))
+        return sessionize(ev, gap_minutes=30)
+
+    def q_event_windows(spark, sf):
+        """Tumbling 1-hour window rollup per event_type via native
+        F.window (epoch-aligned — identical bucketing to date_trunc);
+        cents-exact value sums. Full DuckDB transcription."""
+        from lse.events import event_window_counts
+
+        ev = spark.read.parquet(os.path.join(sf, "events.parquet"))
+        return event_window_counts(ev, hours=1)
+
+    def q_stream_sessions(spark, sf):
+        """STATEFUL Structured Streaming sessionization
+        (applyInPandasWithState, update mode): replay the events table
+        through the file source in four chronological micro-batches, keep
+        the last update per (user, session) — must equal the batch
+        gaps-and-islands oracle exactly, including sessions spanning
+        micro-batch boundaries."""
+        import tempfile
+
+        from pyspark.sql import Window as W
+
+        from lse.events import stream_sessionize
+
+        ev = spark.read.parquet(os.path.join(sf, "events.parquet")).select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+        src = tempfile.mkdtemp(prefix="lse_evstream_src_")
+        ck = tempfile.mkdtemp(prefix="lse_evstream_ck_")
+        pdf = ev.toPandas().sort_values(["ts", "event_id"]).reset_index(drop=True)
+        n = len(pdf)
+        step = max(1, (n + 3) // 4)
+        for c in range(4):
+            chunk = pdf.iloc[c * step:(c + 1) * step]
+            if len(chunk):
+                spark.createDataFrame(chunk, ev.schema).coalesce(1).write.parquet(
+                    os.path.join(src, f"chunk_{c}")
+                )
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/*")
+        )
+        name = "lse_sess_updates_" + os.path.basename(src)[-8:]
+        q = (
+            stream_sessionize(stream, gap_minutes=30)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        upd = spark.table(name)
+        w = W.partitionBy("user_id", "session_id").orderBy(F.desc("n_events"))
+        return (
+            upd.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
     def q_decontaminate(spark, sf):
         """Benchmark decontamination: docs sharing any token 4-gram with a
         deterministic 'benchmark' slice (doc_id % 37 == 0) are flagged;
@@ -996,6 +1095,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": q_unigram_logprob,
         "repetition_stats": q_repetition_stats,
         "decontaminate": q_decontaminate,
+        "sessionize": q_sessionize,
+        "event_windows": q_event_windows,
+        "stream_sessions": q_stream_sessions,
         "pack_ids": q_pack_ids,
         "pack_sequences": q_pack_sequences,
         "redact_pii": q_redact_pii,
@@ -1204,6 +1306,13 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(t.top_tf / (t.n_toks * 1.0), 0.0), 6)
                      AS top_word_frac
             FROM line_stats l LEFT JOIN tok_stats t USING (doc_id)""",
+        "sessionize": _SESSION_SQL,
+        "stream_sessions": _SESSION_SQL,
+        "event_windows": """
+            SELECT date_trunc('hour', ts) AS win_start, event_type,
+                   count(*) AS n_events,
+                   sum(round(value * 100)::BIGINT) / 100.0 AS total_value
+            FROM events GROUP BY 1, 2""",
         "decontaminate": """
             WITH toks AS (
               SELECT doc_id, list_filter(
