@@ -111,6 +111,40 @@ def event_window_counts(events: DataFrame, hours: int = 1) -> DataFrame:
     )
 
 
+def stream_window_counts(
+    events_stream: DataFrame,
+    hours: int = 1,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming tumbling-window rollup with a WATERMARK: the streaming
+    face of :func:`event_window_counts`. Late events older than
+    ``max(event time seen) − watermark`` are dropped by the engine and the
+    corresponding window state is reclaimed — bounded state at any corpus
+    rate, the standard Structured Streaming windowed-agg pattern.
+
+    Run in ``update`` output mode and keep the last row per
+    (win_start, event_type) — counts are monotone per key, so the final
+    snapshot equals the batch rollup over the non-late subset. Note Spark
+    filters late INPUT against the previous micro-batch's watermark while
+    evicting STATE with the current one, so an event is only dropped once
+    a prior batch advanced the watermark past it (both behaviors pinned by
+    tests/test_events.py)."""
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", f"{int(hours)} hour").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(_cents("value")).alias("cents"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            (F.col("cents") / 100.0).alias("total_value"),
+        )
+    )
+
+
 _SESSION_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),

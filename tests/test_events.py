@@ -89,6 +89,115 @@ def test_event_window_counts(spark, ev):
     assert out[("2024-01-01 00:00:00", "buy")]["n_events"] == 1
 
 
+def _drain_stream(spark, df_stream, name, ck):
+    q = (
+        df_stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).toPandas()
+
+
+def test_stream_window_counts_matches_batch(spark):
+    """Chronological replay (no late data): the last update per window/type
+    equals the batch tumbling rollup exactly."""
+    from lse.events import event_window_counts, stream_window_counts
+
+    rows = []
+    t = dt.datetime(2024, 1, 1)
+    for i in range(120):
+        t = t + dt.timedelta(minutes=7)
+        rows.append((i, t, i % 3, "ab"[i % 2], round(1.0 + (i % 9) * 0.37, 2)))
+    df = _events(spark, rows)
+    batch = event_window_counts(df, hours=1).toPandas()
+
+    src = tempfile.mkdtemp(prefix="lse_evw_src_")
+    ck = tempfile.mkdtemp(prefix="lse_evw_ck_")
+    pdf = df.toPandas().sort_values(["ts", "event_id"]).reset_index(drop=True)
+    for c in range(3):
+        spark.createDataFrame(pdf.iloc[c * 40:(c + 1) * 40], EV_SCHEMA) \
+            .coalesce(1).write.parquet(os.path.join(src, f"chunk_{c}"))
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    upd = _drain_stream(
+        spark, stream_window_counts(stream, hours=1, watermark="2 hours"),
+        "evw_updates", ck,
+    )
+    final = (
+        upd.sort_values("n_events")
+        .groupby(["win_start", "event_type"], as_index=False)
+        .last()
+    )
+    b = batch.sort_values(["win_start", "event_type"]).reset_index(drop=True)
+    f = final.sort_values(["win_start", "event_type"]).reset_index(drop=True)
+    assert b["n_events"].tolist() == f["n_events"].tolist()
+    assert b["total_value"].tolist() == pytest.approx(f["total_value"].tolist())
+
+
+def test_stream_window_counts_drops_too_late_events(spark):
+    """An out-of-order event older than the late-events watermark is
+    DROPPED: its window's final count stays at the pre-late value while a
+    batch rollup over the full data would include it. Spark filters late
+    input against the PREVIOUS batch's watermark (eviction uses the
+    current one), so the late file must arrive a batch after the on-time
+    file that advanced the watermark past it."""
+    import time
+
+    from lse.events import stream_window_counts
+
+    f1 = [(i, _ts(i * 10), 1, "a", 1.0) for i in range(6)]       # 00:00–00:50
+    f2 = [(10 + i, dt.datetime(2024, 1, 1, 10 + i), 1, "a", 1.0)
+          for i in range(2)]                                      # 10:00, 11:00
+    f3 = [(15, dt.datetime(2024, 1, 1, 12), 1, "a", 1.0)]        # 12:00
+    late = [(20, _ts(30, 30), 1, "a", 1.0)]                       # 00:30:30 — late
+    src = tempfile.mkdtemp(prefix="lse_evl_src_")
+    ck = tempfile.mkdtemp(prefix="lse_evl_ck_")
+    for i, chunk in enumerate((f1, f2, f3, late)):
+        _events(spark, chunk).coalesce(1).write.parquet(
+            os.path.join(src, f"chunk_{i}")
+        )
+        time.sleep(1.1)  # distinct mtimes pin the file-source arrival order
+    stream = (
+        spark.readStream.schema(_events(spark, f1).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        stream_window_counts(stream, hours=1, watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("evl_updates")
+        .outputMode("update")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    dropped = sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    assert dropped == 1  # the 00:30:30 event (late-filter wm 09:00)
+    upd = spark.table("evl_updates").toPandas()
+    final = (
+        upd.sort_values("n_events")
+        .groupby(["win_start", "event_type"], as_index=False)
+        .last()
+    )
+    by_win = {str(r["win_start"]): r["n_events"] for _, r in final.iterrows()}
+    assert by_win["2024-01-01 00:00:00"] == 6   # late event NOT merged
+    assert by_win["2024-01-01 10:00:00"] == 1
+    assert by_win["2024-01-01 11:00:00"] == 1
+    assert by_win["2024-01-01 12:00:00"] == 1
+
+
 def test_stream_sessionize_converges_to_batch(spark):
     """Replay a 200-event corpus through the file source one chunk at a
     time; the last update per (user, session) must equal batch sessionize
