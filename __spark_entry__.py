@@ -746,6 +746,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "vec_id", F.round("cos", 4).alias("cos")
         )
 
+    def q_knn_join(spark, sf):
+        """Exact many-query k-NN join: every vec_id % 97 == 0 vector finds
+        its top-5 cosine neighbors in one pass — broadcast query side, the
+        corpus never shuffles for scoring; per-query top-k window with the
+        rank cut pushed map-side. Full DuckDB transcription
+        (list_dot_product + row_number)."""
+        from lse.similarity import knn_join
+
+        e = spark.read.parquet(os.path.join(sf, "embeddings.parquet"))
+        q = e.filter(F.col("vec_id") % 97 == 0)
+        return knn_join(q, e, k=5)
+
     def q_pack_ids(spark, sf):
         """Sequence packing (pretraining batcher): distributed two-phase
         prefix sum must be BIT-IDENTICAL to the single-partition window
@@ -1095,6 +1107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": q_unigram_logprob,
         "repetition_stats": q_repetition_stats,
         "decontaminate": q_decontaminate,
+        "knn_join": q_knn_join,
         "sessionize": q_sessionize,
         "event_windows": q_event_windows,
         "stream_sessions": q_stream_sessions,
@@ -1478,6 +1491,26 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT sha256(text) AS content_sha, count(*) AS n
             FROM u GROUP BY 1 HAVING count(*) > 1""",
+        "knn_join": """
+            WITH q AS (
+              SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+              FROM embeddings WHERE vec_id % 97 = 0
+            ),
+            scored AS (
+              SELECT q.qid, e.vec_id,
+                     list_dot_product(e.embedding::DOUBLE[], q.qe)
+                     / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                              e.embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(q.qe, q.qe))) AS cos
+              FROM embeddings e CROSS JOIN q
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                       PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+              FROM scored
+            )
+            SELECT qid, rnk, vec_id, round(cos, 4) AS cos
+            FROM ranked WHERE rnk <= 5""",
         "ann_cosine_topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = 0)
             SELECT vec_id,

@@ -8,6 +8,9 @@
   only data scanned. The scale path — bucket assignment is computed at
   ingest (signature column, partition/cluster by it) so a query touches
   ~N/2^planes rows.
+* knn_join         — exact many-query k-NN JOIN (broadcast query side,
+  corpus scored in place, WindowGroupLimit top-k); knn_join_ivf is the
+  both-sides-large path (cell-cogrouped candidates via the IVF index).
 * cosine_topk_ivf  — IVF (inverted-file) variant: a k-means coarse
   quantizer trained on a driver-side sample assigns every vector to its
   nearest centroid at INGEST (`ivf_assign`); a query ranks centroids by
@@ -133,6 +136,142 @@ def cosine_topk_lsh(
 
 
 # --------------------------------------------------------------------- IVF
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact k-NN JOIN: for EVERY query vector, the top-k corpus neighbors
+    by cosine — the many-query batch form of :func:`cosine_topk` (labeling
+    a dataset against a prototype set, building a near-neighbor graph).
+    Returns (qid, rnk, vec_id, cos), rnk 1..k, ties on vec_id asc.
+
+    Scale shape: the QUERY side broadcasts (it is the small side by
+    convention — prototypes, probes, a label set), so the corpus is scored
+    in place with zero shuffle of the big side; the only exchange is the
+    thin (qid, vec_id, cos) stream into the per-query top-k window, and
+    WindowGroupLimit pushes the rank cut map-side before it. For a LARGE
+    query side use :func:`knn_join_ivf` — cell-cogrouped candidates
+    instead of Q×N flops."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).cast("array<double>").alias("qe"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("ce"),
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "qid",
+        "vec_id",
+        (
+            _dot(F.col("ce"), F.col("qe"))
+            / (
+                F.sqrt(_dot(F.col("ce"), F.col("ce")))
+                * F.sqrt(_dot(F.col("qe"), F.col("qe")))
+            )
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "rnk", "vec_id", F.round("cos", 4).alias("cos"))
+    )
+
+
+def probe_cells(
+    queries: DataFrame,
+    centroids: np.ndarray,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    out: str = "probe_cells",
+) -> DataFrame:
+    """Append each query's ``n_probe`` nearest-centroid cell ids (array) —
+    the query-side analog of :func:`ivf_assign`. Arrow-batched numpy: one
+    (batch × cells) matmul + argsort per batch."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    cent = np.ascontiguousarray(centroids, dtype=np.float64)
+    n_probe = max(1, min(int(n_probe), cent.shape[0]))
+
+    def run(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            if len(pdf):
+                x = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+                x = x / np.maximum(
+                    np.linalg.norm(x, axis=1, keepdims=True), 1e-12
+                )
+                order = np.argsort(-(x @ cent.T), axis=1, kind="stable")
+                pdf[out] = [
+                    [int(c) for c in row[:n_probe]] for row in order
+                ]
+            else:
+                pdf[out] = pd.Series(dtype="object")
+            yield pdf
+
+    schema = T.StructType(
+        list(queries.schema.fields)
+        + [T.StructField(out, T.ArrayType(T.IntegerType()))]
+    )
+    return queries.mapInPandas(run, schema)
+
+
+def knn_join_ivf(
+    queries: DataFrame,
+    corpus_with_cell: DataFrame,
+    centroids: np.ndarray,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "ivf_cell",
+) -> DataFrame:
+    """Approximate k-NN JOIN through the IVF index: each query scores only
+    the corpus rows in its ``n_probe`` nearest cells — Q·N·(n_probe/
+    n_cells) flops instead of Q·N, the scale path when BOTH sides are
+    large. Candidates meet on the cell id (the corpus' cluster/partition
+    key at scale, so the join is co-located); exact cosine + per-query
+    top-k within the candidates. Recall vs the exact join is pinned ≥0.9
+    by tests/test_similarity_join.py at n_probe=4/16 cells."""
+    from pyspark.sql import Window
+
+    probes = probe_cells(queries, centroids, n_probe=n_probe, vec_col=vec_col)
+    q = probes.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).cast("array<double>").alias("qe"),
+        F.explode("probe_cells").alias(cell_col),
+    )
+    c = corpus_with_cell.select(
+        F.col(cell_col),
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("ce"),
+    )
+    scored = c.join(F.broadcast(q), cell_col).select(
+        "qid",
+        "vec_id",
+        (
+            _dot(F.col("ce"), F.col("qe"))
+            / (
+                F.sqrt(_dot(F.col("ce"), F.col("ce")))
+                * F.sqrt(_dot(F.col("qe"), F.col("qe")))
+            )
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "rnk", "vec_id", F.round("cos", 4).alias("cos"))
+    )
+
+
 def train_ivf_centroids(
     emb: DataFrame,
     n_cells: int = 16,

@@ -1,0 +1,83 @@
+"""k-NN JOIN operators: exact (broadcast query side) and IVF-cogrouped
+approximate variant with a recall gate."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def _emb(spark, n=200, dim=16, seed=3):
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((n, dim))
+    rows = [(i, [float(v) for v in x[i]]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_knn_join_matches_per_query_topk(spark):
+    """The join's per-query rows equal running cosine_topk per query."""
+    from lse.similarity import cosine_topk, knn_join
+
+    e = _emb(spark, n=120)
+    q = e.filter(F.col("vec_id") % 40 == 0)  # 3 queries
+    out = knn_join(q, e, k=4).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["qid"], []).append((r["rnk"], r["vec_id"], r["cos"]))
+    assert sorted(by_q) == [0, 40, 80]
+    for qid, rows in by_q.items():
+        qv = e.filter(F.col("vec_id") == qid).first()["embedding"]
+        expect = cosine_topk(e, qv, k=4).collect()
+        rows.sort()
+        assert [v for _, v, _ in rows] == [r["vec_id"] for r in expect]
+        for (_, _, got), r in zip(rows, expect):
+            assert got == pytest.approx(round(r["cos"], 4), abs=2e-4)
+    # self-match ranks first at cos 1.0
+    for qid, rows in by_q.items():
+        assert rows[0][1] == qid and rows[0][2] == pytest.approx(1.0)
+
+
+def test_knn_join_broadcasts_query_side(spark):
+    from lse.similarity import knn_join
+
+    e = _emb(spark, n=100)
+    q = e.filter(F.col("vec_id") < 2)
+    plan = knn_join(q, e, k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "EvalPython" not in plan  # scoring is pure JVM
+
+
+def test_knn_join_ivf_recall_gate(spark):
+    """Cell-cogrouped approximate join reaches recall@5 ≥ 0.9 vs exact at
+    n_probe=4 of 16 cells, at ~4/16 of the flops."""
+    from lse.similarity import (
+        ivf_assign, knn_join, knn_join_ivf, train_ivf_centroids,
+    )
+
+    # clustered data (prototype + noise) — the realistic embedding
+    # distribution IVF is built for; isotropic gaussian noise with no
+    # cluster structure is the adversarial case and needs higher n_probe
+    rng = np.random.default_rng(9)
+    protos = rng.standard_normal((8, 24)) * 3.0
+    x = protos[rng.integers(0, 8, 400)] + rng.standard_normal((400, 24))
+    e = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(400)],
+        "vec_id long, embedding array<float>",
+    )
+    q = e.filter(F.col("vec_id") % 80 == 0)  # 5 queries
+    cent = train_ivf_centroids(e, n_cells=16, seed=11)
+    assigned = ivf_assign(e, cent)
+    exact = knn_join(q, e, k=5).collect()
+    approx = knn_join_ivf(q, assigned, cent, k=5, n_probe=4).collect()
+    want = {}
+    for r in exact:
+        want.setdefault(r["qid"], set()).add(r["vec_id"])
+    got = {}
+    for r in approx:
+        got.setdefault(r["qid"], set()).add(r["vec_id"])
+    recalls = [
+        len(want[qid] & got.get(qid, set())) / len(want[qid]) for qid in want
+    ]
+    assert sum(recalls) / len(recalls) >= 0.9
+    # ranks within each query are 1..k with no duplicate candidates
+    for qid, s in got.items():
+        assert len(s) == 5
