@@ -389,6 +389,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         eng = _engine(spark, sf)
         return _r6(eng.wildcard_scores("s*k"))
 
+    def q_fuzzy(spark, sf):
+        """Typo-tolerant term query (beyond-reference): per-doc BM25 sum
+        over vocabulary terms within Levenshtein 1 of the misspelling
+        'sparc'; oracle is the scored CTE filtered by levenshtein()."""
+        eng = _engine(spark, sf)
+        return _r6(eng.fuzzy_scores("sparc", 1))
+
     def q_field_repo(spark, sf):
         return _searched(spark, sf, "repo:src3")
 
@@ -1062,6 +1069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "not_query": q_not,
         "prefix_query": q_prefix,
         "wildcard_query": q_wildcard,
+        "fuzzy_query": q_fuzzy,
         "phrase_query": q_phrase,
         "field_repo": q_field_repo,
         "size_range": q_size_range,
@@ -1403,6 +1411,9 @@ def oracle_sql() -> dict[str, str]:
         "wildcard_query": _TOK_CTE
         + """SELECT doc_id, round(sum(score), 6) AS score FROM scored
              WHERE term LIKE 's%k' GROUP BY doc_id""",
+        "fuzzy_query": _TOK_CTE
+        + """SELECT doc_id, round(sum(score), 6) AS score FROM scored
+             WHERE levenshtein(term, 'sparc') <= 1 GROUP BY doc_id""",
         "phrase_query": _TOK_CTE
         + """, matched AS (
                SELECT DISTINCT k1.doc_id FROM kept k1

@@ -1060,6 +1060,101 @@ class SearchEngine:
         finally:
             scores.unpersist()
 
+    # ------------------------------------------------------------ fuzzy
+    @staticmethod
+    def _levenshtein_leq(a: str, b: str, d: int) -> bool:
+        """Banded two-row Levenshtein DP with early abandon: True iff
+        dist(a,b) ≤ d. O(len·(2d+1)) — candidates already length-banded."""
+        la, lb = len(a), len(b)
+        if abs(la - lb) > d:
+            return False
+        prev = list(range(lb + 1))
+        for i in range(1, la + 1):
+            cur = [i] + [0] * lb
+            lo = max(1, i - d)
+            hi = min(lb, i + d)
+            if lo > 1:
+                cur[lo - 1] = d + 1
+            best = cur[lo - 1] if lo > 1 else cur[0]
+            for j in range(lo, hi + 1):
+                cur[j] = min(
+                    prev[j] + 1,
+                    cur[j - 1] + 1,
+                    prev[j - 1] + (a[i - 1] != b[j - 1]),
+                )
+                best = min(best, cur[j])
+            if hi < lb:
+                cur[hi + 1:] = [d + 1] * (lb - hi)
+            if best > d:
+                return False
+            prev = cur
+        return prev[lb] <= d
+
+    def _expand_fuzzy(
+        self, term: str, max_dist: int = 1, cap: int = 512
+    ) -> Optional[List[str]]:
+        """Dictionary expansion of a fuzzy term: all vocabulary terms
+        within Levenshtein distance ``max_dist``. Candidates are pruned to
+        the ±d length band with one vectorized numpy pass before the DP
+        runs. None = no local dictionary or over cap (the distributed
+        levenshtein plan serves it instead)."""
+        if not self.local._load_dictionary():
+            return None
+        arr = self.local._dict_terms
+        lens = np.char.str_len(arr.astype(str))
+        band = np.abs(lens - len(term)) <= max_dist
+        out = [
+            str(t)
+            for t in arr[band]
+            if self._levenshtein_leq(str(t), term, max_dist)
+        ]
+        return None if len(out) > cap else out
+
+    def fuzzy_scores(self, term: str, max_dist: int = 1) -> DataFrame:
+        """DataFrame(doc_id, score) for a fuzzy term query — per-doc BM25
+        sum over every vocabulary term within Levenshtein ``max_dist``
+        (beyond-reference: typo-tolerant search; same score-sum semantics
+        as Prefix/wildcard, QueryEngine.java:244-259). Distributed plan:
+        a cheap ±d length-band filter (pushes to the parquet scan) then
+        JVM ``levenshtein`` on the survivors — never a driver-side term
+        list."""
+        t = term.lower().strip()
+        if not t:
+            return self._empty()
+        rows = self.postings.filter(
+            F.abs(F.length("term") - F.lit(len(t))) <= max_dist
+        ).filter(F.levenshtein(F.col("term"), F.lit(t)) <= max_dist)
+        return (
+            self._decoded(rows)
+            .select("doc_id", self._score_expr().alias("score"))
+            .groupBy("doc_id")
+            .agg(F.sum("score").alias("score"))
+        )
+
+    def search_fuzzy(
+        self, term: str, max_dist: int = 1, limit: int = 10
+    ) -> Tuple[List[Tuple[int, float]], int]:
+        """(top-k [(doc_id, score)], totalMatches) for a typo-tolerant term
+        query. Small dictionary expansions rewrite to an OR-group DSL
+        string and ride the normal tier routing (local numpy tier, plan
+        memo); over-cap or dictionary-less cases run the distributed
+        :meth:`fuzzy_scores` plan."""
+        t = term.lower().strip()
+        if not t:
+            return [], 0
+        terms = self._expand_fuzzy(t, max_dist=max_dist)
+        if terms is not None:
+            if not terms:
+                return [], 0
+            return self.search_result(" OR ".join(terms), limit)
+        scores = self.fuzzy_scores(t, max_dist).cache()
+        try:
+            total = scores.count()
+            top = scores.orderBy(F.desc("score"), F.asc("doc_id")).take(limit)
+            return [(int(r["doc_id"]), float(r["score"])) for r in top], total
+        finally:
+            scores.unpersist()
+
     def cnf_groups(self, node: Node) -> Optional[List[List[str]]]:
         """AND-of-OR-groups normalization of a pure term tree (with
         multiplicity — reference score-sum semantics). Covers a single term

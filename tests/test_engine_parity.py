@@ -161,3 +161,79 @@ def test_wildcard_over_cap_falls_back_distributed(engine_and_oracle):
     top_b, tot_b = engine.search_result(" OR ".join(exp), 10)
     assert tot_a == tot_b
     assert dict(top_a).keys() == dict(top_b).keys()
+
+
+# ------------------------------------------------------------------ fuzzy
+def _naive_lev(a, b):
+    import itertools
+
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_levenshtein_leq_matches_naive_dp():
+    from lse.engine import SearchEngine
+
+    words = ["", "a", "ab", "java", "jawa", "jva", "javaa", "spark",
+             "sparc", "spork", "programming", "programing"]
+    for a in words:
+        for b in words:
+            for d in (0, 1, 2):
+                assert SearchEngine._levenshtein_leq(a, b, d) == (
+                    _naive_lev(a, b) <= d
+                ), (a, b, d)
+
+
+@pytest.mark.parametrize("term,dist", [
+    ("jawa", 1),      # substitution → java
+    ("jav", 1),       # deletion → java
+    ("javaa", 1),     # insertion → java
+    ("qqqqq", 1),     # no match
+    ("sistem", 2),    # d=2 reaches system
+])
+def test_fuzzy_routes_agree(engine_and_oracle, term, dist):
+    """search_fuzzy's dictionary-expansion route must equal the distributed
+    levenshtein plan (fuzzy_scores) — same docs, same totals, ±1e-9."""
+    from pyspark.sql import functions as F
+
+    engine, _ = engine_and_oracle
+    top_a, tot_a = engine.search_fuzzy(term, max_dist=dist, limit=10)
+    sc = engine.fuzzy_scores(term, max_dist=dist).cache()
+    try:
+        tot_b = sc.count()
+        top_b = [
+            (int(r["doc_id"]), float(r["score"]))
+            for r in sc.orderBy(F.desc("score"), F.asc("doc_id")).take(10)
+        ]
+    finally:
+        sc.unpersist()
+    assert tot_a == tot_b, term
+    da, db = dict(top_a), dict(top_b)
+    assert set(da) == set(db), term
+    for k in da:
+        assert da[k] == pytest.approx(db[k], abs=1e-9), (term, k)
+
+
+def test_fuzzy_exact_term_includes_itself(engine_and_oracle):
+    """Distance 0 of an existing term equals the plain term query."""
+    engine, _ = engine_and_oracle
+    got, got_total = engine.search_fuzzy("java", max_dist=0, limit=10)
+    want, want_total = engine.search_result("java", 10)
+    assert got_total == want_total
+    assert dict(got).keys() == dict(want).keys()
+
+
+def test_fuzzy_over_cap_falls_back_distributed(engine_and_oracle):
+    engine, _ = engine_and_oracle
+    assert engine._expand_fuzzy("jawa", cap=0) is None
+    top_a, tot_a = engine.search_fuzzy("jawa", max_dist=1, limit=10)
+    exp = engine._expand_fuzzy("jawa")
+    assert exp
+    top_b, tot_b = engine.search_result(" OR ".join(exp), 10)
+    assert tot_a == tot_b
+    assert dict(top_a).keys() == dict(top_b).keys()
