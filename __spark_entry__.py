@@ -574,6 +574,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", F.round("quality", 6).alias("quality"), "split"
         )
 
+    def q_curation_pipeline_v2(spark, sf):
+        """Round-5 composition story: exact dedup → benchmark
+        decontamination (the eval slice's 4-grams knock out leaked docs,
+        including the slice itself) → Gopher repetition gate
+        (top_word_frac ≤ 0.2; unmeasurable docs pass) → deterministic
+        content-hash split. One lazy plan, full-chain DuckDB oracle."""
+        from lse.dedup import dedup_exact
+        from lse.textops import add_split, decontaminate, repetition_stats
+
+        d = spark.read.parquet(os.path.join(sf, "documents.parquet")).select(
+            "doc_id", F.col("text").alias("content")
+        )
+        u = dedup_exact(d)
+        bench = u.filter(F.col("doc_id") % 37 == 0)
+        clean = (
+            decontaminate(u, bench, n=4)
+            .filter(~F.col("contaminated"))
+            .select("doc_id")
+        )
+        calm = (
+            repetition_stats(u)
+            .filter(F.col("top_word_frac") <= 0.2)
+            .select("doc_id")
+        )
+        kept = u.join(clean, "doc_id", "left_semi").join(
+            calm, "doc_id", "left_semi"
+        )
+        return add_split(kept).select("doc_id", "split")
+
     def q_embedding_near_dups(spark, sf):
         # plant exact duplicates (copies of vec_id < 10 at +100000) so the
         # LSH-bucketed near-dup operator has real positives; identical
@@ -1115,6 +1144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": q_unigram_logprob,
         "repetition_stats": q_repetition_stats,
         "decontaminate": q_decontaminate,
+        "curation_pipeline_v2": q_curation_pipeline_v2,
         "knn_join": q_knn_join,
         "sessionize": q_sessionize,
         "event_windows": q_event_windows,
@@ -1334,6 +1364,53 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    sum(round(value * 100)::BIGINT) / 100.0 AS total_value
             FROM events GROUP BY 1, 2""",
+        "curation_pipeline_v2": """
+            WITH dedup AS (
+              SELECT doc_id, text FROM (
+                SELECT doc_id, text,
+                       row_number() OVER (PARTITION BY sha256(text)
+                                          ORDER BY doc_id) AS rn
+                FROM documents) WHERE rn = 1
+            ),
+            toks AS (
+              SELECT doc_id, list_filter(
+                       regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       t -> length(t) > 1) AS toks
+              FROM dedup
+            ),
+            grams AS (
+              SELECT doc_id,
+                     toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                             || ' ' || toks[i+3] AS ngram
+              FROM toks, unnest(generate_series(1, len(toks) - 3)) AS u(i)
+              WHERE len(toks) >= 4
+            ),
+            bench_grams AS (
+              SELECT DISTINCT ngram FROM grams WHERE doc_id % 37 = 0
+            ),
+            dirty AS (
+              SELECT DISTINCT g.doc_id
+              FROM (SELECT DISTINCT doc_id, ngram FROM grams) g
+              JOIN bench_grams b USING (ngram)
+            ),
+            tf AS (
+              SELECT doc_id, term, count(*) AS tf
+              FROM (SELECT doc_id, unnest(toks) AS term FROM toks)
+              WHERE term <> '' GROUP BY 1, 2
+            ),
+            rep_bad AS (
+              SELECT doc_id FROM (
+                SELECT doc_id, max(tf) AS top_tf, sum(tf) AS n_toks
+                FROM tf GROUP BY 1)
+              WHERE top_tf / (n_toks * 1.0) > 0.2
+            )
+            SELECT d.doc_id,
+                   CASE WHEN ('0x' || substr(md5(d.text), 1, 8))::UBIGINT
+                             % 100 < 90
+                        THEN 'train' ELSE 'val' END AS split
+            FROM dedup d
+            WHERE d.doc_id NOT IN (SELECT doc_id FROM dirty)
+              AND d.doc_id NOT IN (SELECT doc_id FROM rep_bad)""",
         "decontaminate": """
             WITH toks AS (
               SELECT doc_id, list_filter(
