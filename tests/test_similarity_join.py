@@ -81,3 +81,35 @@ def test_knn_join_ivf_recall_gate(spark):
     # ranks within each query are 1..k with no duplicate candidates
     for qid, s in got.items():
         assert len(s) == 5
+
+
+def test_knn_join_bulk_parity_with_exact(spark):
+    """The Arrow matmul kernel returns the same neighbor sets and cosines
+    (±1e-9 before rounding → equal at 4 dp) as the JVM expression path."""
+    from lse.similarity import knn_join, knn_join_bulk
+
+    e = _emb(spark, n=300, dim=32, seed=5)
+    q = e.filter(F.col("vec_id") % 60 == 0)  # 5 queries
+    a = knn_join(q, e, k=7).collect()
+    b = knn_join_bulk(q, e, k=7).collect()
+    key = lambda rows: {
+        r["qid"]: sorted((r2["vec_id"], r2["cos"]) for r2 in rows
+                         if r2["qid"] == r["qid"])
+        for r in rows
+    }
+    ka, kb = key(a), key(b)
+    assert ka.keys() == kb.keys()
+    for qid in ka:
+        ids_a = [v for v, _ in ka[qid]]
+        ids_b = [v for v, _ in kb[qid]]
+        assert ids_a == ids_b, qid
+        for (_, ca), (_, cb) in zip(ka[qid], kb[qid]):
+            assert ca == pytest.approx(cb, abs=2e-4)
+
+
+def test_knn_join_bulk_empty_queries(spark):
+    from lse.similarity import knn_join_bulk
+
+    e = _emb(spark, n=20)
+    q = e.filter(F.col("vec_id") < 0)
+    assert knn_join_bulk(q, e, k=3).count() == 0
