@@ -794,6 +794,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q = e.filter(F.col("vec_id") % 97 == 0)
         return knn_join(q, e, k=5)
 
+    def q_knn_join_ivf(spark, sf):
+        """IVF k-NN join — the both-sides-large scale path: queries probe
+        their n_probe nearest coarse cells and candidates meet on the
+        corpus' cell id (its cluster key at scale), so each query scores
+        n_probe/n_cells of the corpus instead of all of it. Golden-fixture
+        oracle: an independent numpy replica of quantize → probe →
+        cell-join → per-query top-k (lse/oracle_ops.py:oracle_knn_join_ivf)."""
+        _require_goldens(sf)
+        from lse.similarity import (
+            ivf_assign, knn_join_ivf, train_ivf_centroids,
+        )
+
+        e = spark.read.parquet(os.path.join(sf, "embeddings.parquet"))
+        cent = train_ivf_centroids(e, n_cells=16, seed=11)
+        assigned = ivf_assign(e, cent)
+        q = e.filter(F.col("vec_id") % 97 == 0)
+        return knn_join_ivf(q, assigned, cent, k=5, n_probe=4)
+
     def q_pack_ids(spark, sf):
         """Sequence packing (pretraining batcher): distributed two-phase
         prefix sum must be BIT-IDENTICAL to the single-partition window
@@ -1146,6 +1164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "curation_pipeline_v2": q_curation_pipeline_v2,
         "knn_join": q_knn_join,
+        "knn_join_ivf": q_knn_join_ivf,
         "sessionize": q_sessionize,
         "event_windows": q_event_windows,
         "stream_sessions": q_stream_sessions,
@@ -1217,6 +1236,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann_lsh_topk": _golden_sql("ann_lsh_topk", "vec_id, cos"),
         "ann_ivf_topk": _golden_sql("ann_ivf_topk", "vec_id, cos"),
+        "knn_join_ivf": _golden_sql("knn_join_ivf", "qid, rnk, vec_id, cos"),
         "video_features": _golden_sql(
             "video_features",
             "id, width, height, fps, n_frames, sampled_frames, y_mean, y_std",

@@ -251,20 +251,12 @@ def oracle_ann_lsh(
     return _cos_topk(ids[mask], X[mask], q, k)
 
 
-def oracle_ann_ivf(
-    emb: pd.DataFrame,
-    n_cells: int = 16,
-    seed: int = 11,
-    iters: int = 10,
-    n_probe: int = 4,
-    k: int = 10,
-) -> pd.DataFrame:
-    """(vec_id, cos): IVF-Flat — spherical k-means quantizer (numeric kernel
-    mirrored; see module docstring), nearest-cell assignment, probe the
-    n_probe most-similar cells, exact cosine top-k inside them."""
-    ids, X = _emb_matrix(emb)
-    q = X[np.flatnonzero(ids == 0)[0]]
-    x = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+def _ivf_kmeans(
+    x: np.ndarray, n_cells: int = 16, seed: int = 11, iters: int = 10
+) -> np.ndarray:
+    """Spherical k-means on pre-normalized rows — the shared quantizer
+    kernel of the IVF oracles (numerics mirror lse.similarity.
+    train_ivf_centroids: same seeding, Lloyd steps, empty-cell re-seed)."""
     n = x.shape[0]
     rng = np.random.default_rng(seed)
     kc = min(n_cells, n)
@@ -281,12 +273,70 @@ def oracle_ann_ivf(
             new[empty] = x[worst]
             counts[empty] = 1
         cent = new / np.maximum(np.linalg.norm(new, axis=1, keepdims=True), 1e-12)
+    return cent
+
+
+def oracle_ann_ivf(
+    emb: pd.DataFrame,
+    n_cells: int = 16,
+    seed: int = 11,
+    iters: int = 10,
+    n_probe: int = 4,
+    k: int = 10,
+) -> pd.DataFrame:
+    """(vec_id, cos): IVF-Flat — spherical k-means quantizer (numeric kernel
+    mirrored; see module docstring), nearest-cell assignment, probe the
+    n_probe most-similar cells, exact cosine top-k inside them."""
+    ids, X = _emb_matrix(emb)
+    q = X[np.flatnonzero(ids == 0)[0]]
+    x = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    cent = _ivf_kmeans(x, n_cells=n_cells, seed=seed, iters=iters)
     cells = np.argmax(x @ cent.T, axis=1)
     qn = q / max(float(np.linalg.norm(q)), 1e-12)
     order = np.argsort(-(cent @ qn), kind="stable")
     probe = set(int(c) for c in order[: max(1, n_probe)])
     mask = np.isin(cells, sorted(probe))
     return _cos_topk(ids[mask], X[mask], q, k)
+
+
+def oracle_knn_join_ivf(
+    emb: pd.DataFrame,
+    n_cells: int = 16,
+    seed: int = 11,
+    iters: int = 10,
+    n_probe: int = 4,
+    k: int = 5,
+    query_mod: int = 97,
+) -> pd.DataFrame:
+    """(qid, rnk, vec_id, cos): IVF k-NN JOIN — every ``vec_id % query_mod
+    == 0`` vector probes its n_probe nearest cells and takes the exact
+    cosine top-k among the cells' members (ties vec_id asc), replicating
+    lse.similarity.knn_join_ivf's quantize → probe → cell-join → window
+    plan with a sequential per-query scan."""
+    ids, X = _emb_matrix(emb)
+    x = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    cent = _ivf_kmeans(x, n_cells=n_cells, seed=seed, iters=iters)
+    cells = np.argmax(x @ cent.T, axis=1)
+    rows = []
+    for qi in np.flatnonzero(ids % query_mod == 0):
+        q = X[qi]
+        qn = q / max(float(np.linalg.norm(q)), 1e-12)
+        order = np.argsort(-(cent @ qn), kind="stable")
+        probe = sorted(int(c) for c in order[: max(1, n_probe)])
+        mask = np.isin(cells, probe)
+        cids, cX = ids[mask], X[mask]
+        cos = (cX @ q) / (
+            np.sqrt((cX * cX).sum(axis=1)) * float(np.linalg.norm(q))
+        )
+        top = np.lexsort((cids, -cos))[:k]
+        rows.extend(
+            (int(ids[qi]), r, int(cids[j]), _round_half_up(float(cos[j]), 4))
+            for r, j in enumerate(top, 1)
+        )
+    df = pd.DataFrame(rows, columns=["qid", "rnk", "vec_id", "cos"])
+    return df.astype(
+        {"qid": "int64", "rnk": "int64", "vec_id": "int64", "cos": "float64"}
+    )
 
 
 # ---------------------------------------------------------------- video
@@ -339,4 +389,5 @@ GOLDEN_OPS = {
     "audio_features": ("documents", oracle_audio_features),
     "ann_lsh_topk": ("embeddings", oracle_ann_lsh),
     "ann_ivf_topk": ("embeddings", oracle_ann_ivf),
+    "knn_join_ivf": ("embeddings", oracle_knn_join_ivf),
 }
