@@ -782,6 +782,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "vec_id", F.round("cos", 4).alias("cos")
         )
 
+    def q_ann_pq(spark, sf):
+        """PQ-compressed ANN with exact refine (FAISS IVFPQ+refine shape):
+        vectors are product-quantized to m=16 one-byte codes at ingest
+        (16x storage compression of the scoring payload), the query scans
+        ONLY the code column via an ADC lookup table for a 5k shortlist,
+        and true cosine is recomputed for just those rows. Golden-fixture
+        oracle: an independent numpy replica of train -> encode -> ADC ->
+        refine (lse/oracle_ops.py:oracle_ann_pq)."""
+        _require_goldens(sf)
+        from lse.similarity import (
+            cosine_topk_pq_refine, pq_encode, train_pq_codebooks,
+        )
+
+        e = spark.read.parquet(os.path.join(sf, "embeddings.parquet"))
+        qv = [
+            float(x)
+            for x in e.filter(F.col("vec_id") == 0).first()["embedding"]
+        ]
+        books = train_pq_codebooks(e, m=16, n_codes=64, seed=13)
+        coded = pq_encode(e, books)  # ingest-time code column
+        return cosine_topk_pq_refine(
+            coded, books, qv, k=10, shortlist=5
+        ).select("vec_id", F.round("cos", 4).alias("cos"))
+
     def q_knn_join(spark, sf):
         """Exact many-query k-NN join: every vec_id % 97 == 0 vector finds
         its top-5 cosine neighbors in one pass — broadcast query side, the
@@ -1151,6 +1175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "ann_lsh_topk": q_ann_lsh,
         "ann_ivf_topk": q_ann_ivf,
+        "ann_pq_topk": q_ann_pq,
         "snippet_lines": q_snippet_lines,
         "stream_term_scores": q_stream_term_scores,
         "audio_features": q_audio_features,
@@ -1237,6 +1262,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _golden_sql("ann_lsh_topk", "vec_id, cos"),
         "ann_ivf_topk": _golden_sql("ann_ivf_topk", "vec_id, cos"),
         "knn_join_ivf": _golden_sql("knn_join_ivf", "qid, rnk, vec_id, cos"),
+        "ann_pq_topk": _golden_sql("ann_pq_topk", "vec_id, cos"),
         "video_features": _golden_sql(
             "video_features",
             "id, width, height, fps, n_frames, sampled_frames, y_mean, y_std",

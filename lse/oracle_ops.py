@@ -339,6 +339,70 @@ def oracle_knn_join_ivf(
     )
 
 
+def _pq_l2_kmeans(
+    x: np.ndarray, n_codes: int, seed: int, iters: int
+) -> np.ndarray:
+    """Euclidean Lloyd on one PQ subspace — mirrors lse.similarity.
+    _l2_kmeans (same seeding, expanded-identity distances, empty-cell
+    re-seed from the worst-fit points)."""
+    n = x.shape[0]
+    rng = np.random.default_rng(seed)
+    kc = min(int(n_codes), n)
+    cent = x[rng.choice(n, size=kc, replace=False)]
+    xsq = (x * x).sum(axis=1)
+    for _ in range(iters):
+        d2 = xsq[:, None] + (cent * cent).sum(axis=1)[None, :] - 2.0 * (x @ cent.T)
+        assign = np.argmin(d2, axis=1)
+        new = np.zeros_like(cent)
+        np.add.at(new, assign, x)
+        counts = np.bincount(assign, minlength=kc)
+        empty = counts == 0
+        if empty.any():
+            worst = np.argsort(-d2[np.arange(n), assign])[: int(empty.sum())]
+            new[empty] = x[worst]
+            counts[empty] = 1
+        cent = new / counts[:, None]
+    return cent
+
+
+def oracle_ann_pq(
+    emb: pd.DataFrame,
+    m: int = 16,
+    n_codes: int = 64,
+    seed: int = 13,
+    iters: int = 12,
+    k: int = 10,
+    shortlist: int = 5,
+) -> pd.DataFrame:
+    """(vec_id, cos): PQ + exact refine — per-subspace L2 codebooks on the
+    normalized vectors, argmin encoding, ADC lookup-table scoring for a
+    shortlist*k candidate list, then exact cosine top-k within it
+    (replicates lse.similarity.cosine_topk_pq_refine end to end)."""
+    ids, X = _emb_matrix(emb)
+    q = X[np.flatnonzero(ids == 0)[0]]
+    x = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    d = x.shape[1]
+    dsub = d // m
+    books = np.empty((m, min(n_codes, x.shape[0]), dsub), dtype=np.float64)
+    codes = np.empty((x.shape[0], m), dtype=np.int64)
+    for j in range(m):
+        sub = x[:, j * dsub : (j + 1) * dsub]
+        books[j] = _pq_l2_kmeans(sub, n_codes, seed + j, iters)
+        d2 = (
+            (sub * sub).sum(axis=1)[:, None]
+            + (books[j] * books[j]).sum(axis=1)[None, :]
+            - 2.0 * (sub @ books[j].T)
+        )
+        codes[:, j] = np.argmin(d2, axis=1)
+    qn = q / max(float(np.linalg.norm(q)), 1e-12)
+    lut = np.stack(
+        [books[j] @ qn[j * dsub : (j + 1) * dsub] for j in range(m)]
+    )
+    score = lut[np.arange(m)[None, :], codes].sum(axis=1)
+    short = np.lexsort((ids, -score))[: k * shortlist]
+    return _cos_topk(ids[short], X[short], q, k)
+
+
 # ---------------------------------------------------------------- video
 def synthetic_video_frames(doc_id: int, h: int = 8, w: int = 8):
     """Deterministic luma frames for the video oracle lane: frame count and
@@ -390,4 +454,5 @@ GOLDEN_OPS = {
     "ann_lsh_topk": ("embeddings", oracle_ann_lsh),
     "ann_ivf_topk": ("embeddings", oracle_ann_ivf),
     "knn_join_ivf": ("embeddings", oracle_knn_join_ivf),
+    "ann_pq_topk": ("embeddings", oracle_ann_pq),
 }
