@@ -115,3 +115,31 @@ def test_dim_not_divisible_rejected(spark):
 
     with pytest.raises(ValueError, match="divisible"):
         train_pq_codebooks(_emb(spark, n=20, dim=30), m=8)
+
+
+def test_ivf_pq_composition(spark, pq):
+    """The full IVFPQ shape: `ivf_assign` and `pq_encode` are independent
+    ingest-time columns, so cell-pruning the coded table then running
+    ADC+refine inside the probed cells composes without any new operator.
+    Recall stays high because refine recomputes true cosine."""
+    from lse.similarity import (
+        cosine_topk,
+        cosine_topk_pq_refine,
+        ivf_assign,
+        train_ivf_centroids,
+    )
+    from pyspark.sql import functions as F2
+
+    e, books, coded = pq
+    cent = train_ivf_centroids(e, n_cells=8, seed=11)
+    both = ivf_assign(coded, cent)  # (embedding, pq_code, ivf_cell)
+    qv = e.filter(F2.col("vec_id") == 0).first()["embedding"]
+    qn = np.asarray(qv, dtype=np.float64)
+    qn = qn / max(float(np.linalg.norm(qn)), 1e-12)
+    probe = np.argsort(-(cent @ qn), kind="stable")[:3]
+    pruned = both.filter(F2.col("ivf_cell").isin([int(c) for c in probe]))
+    got = {r["vec_id"] for r in
+           cosine_topk_pq_refine(pruned, books, qv, k=10, shortlist=5).collect()}
+    want = {r["vec_id"] for r in cosine_topk(e, qv, k=10).collect()}
+    assert len(got & want) / 10 >= 0.7
+    assert 0 in got  # the self-match survives both pruning stages
