@@ -1036,6 +1036,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .drop("_rn")
         )
 
+    def q_stream_window_counts(spark, sf):
+        """Watermarked STREAMING tumbling-window rollup: replay the events
+        table chronologically in four micro-batches (ts ascending, so no
+        event is ever behind the watermark and nothing is dropped), run
+        stream_window_counts in update mode, keep the last update per
+        (win_start, event_type). Counts are strictly monotone per key, so
+        the final snapshot equals the batch rollup — same oracle as
+        event_windows. The late-drop / state-eviction contract itself is
+        pinned separately by tests/test_events.py."""
+        import tempfile
+
+        from pyspark.sql import Window as W
+
+        from lse.events import stream_window_counts
+
+        # the watermark clock needs TIMESTAMP (not the parquet NTZ type);
+        # the session tz is pinned to UTC so the cast is value-preserving,
+        # and win_start is cast back to NTZ below for the oracle compare
+        ev = spark.read.parquet(os.path.join(sf, "events.parquet")).select(
+            "event_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+        src = tempfile.mkdtemp(prefix="lse_evwin_src_")
+        ck = tempfile.mkdtemp(prefix="lse_evwin_ck_")
+        pdf = ev.toPandas().sort_values(["ts", "event_id"]).reset_index(drop=True)
+        n = len(pdf)
+        step = max(1, (n + 3) // 4)
+        for c in range(4):
+            chunk = pdf.iloc[c * step:(c + 1) * step]
+            if len(chunk):
+                spark.createDataFrame(chunk, ev.schema).coalesce(1).write.parquet(
+                    os.path.join(src, f"chunk_{c}")
+                )
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/*")
+        )
+        name = "lse_win_updates_" + os.path.basename(src)[-8:]
+        q = (
+            stream_window_counts(stream, hours=1, watermark="2 hours")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        upd = spark.table(name)
+        w = W.partitionBy("win_start", "event_type").orderBy(F.desc("n_events"))
+        return (
+            upd.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .withColumn("win_start", F.col("win_start").cast("timestamp_ntz"))
+        )
+
     def q_decontaminate(spark, sf):
         """Benchmark decontamination: docs sharing any token 4-gram with a
         deterministic 'benchmark' slice (doc_id % 37 == 0) are flagged;
@@ -1193,6 +1254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "event_windows": q_event_windows,
         "stream_sessions": q_stream_sessions,
+        "stream_window_counts": q_stream_window_counts,
         "pack_ids": q_pack_ids,
         "pack_sequences": q_pack_sequences,
         "redact_pii": q_redact_pii,
@@ -1406,6 +1468,11 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": _SESSION_SQL,
         "stream_sessions": _SESSION_SQL,
         "event_windows": """
+            SELECT date_trunc('hour', ts) AS win_start, event_type,
+                   count(*) AS n_events,
+                   sum(round(value * 100)::BIGINT) / 100.0 AS total_value
+            FROM events GROUP BY 1, 2""",
+        "stream_window_counts": """
             SELECT date_trunc('hour', ts) AS win_start, event_type,
                    count(*) AS n_events,
                    sum(round(value * 100)::BIGINT) / 100.0 AS total_value
