@@ -256,6 +256,7 @@ def build_index(
     build_id = build_id or uuid.uuid4().hex[:12]
     ran: List[str] = []
     skipped: List[str] = []
+    stage_secs: dict = {}
     t0 = time.time()
 
     def committed(stage: str) -> bool:
@@ -284,6 +285,41 @@ def build_index(
     def stop_requested(stage: str) -> bool:
         return stop_after_stage == stage
 
+    # Overlap mode (guide-style concurrent driver jobs): the docs snapshot
+    # and doc_stats are OFF the build's critical path
+    # (tokenize → stats → postings → manifest) when content is not stored —
+    # run them on driver side threads so their jobs back-fill executor slots
+    # freed by the critical-path stages' tails. ``stop_after_stage`` (crash /
+    # resume tests) keeps the original strictly sequential stage order.
+    overlap = stop_after_stage is None and os.environ.get(
+        "LSE_BUILD_OVERLAP", "1"
+    ) not in ("0", "false", "no")
+    side_threads: List = []
+    side_errors: List[BaseException] = []
+
+    def _spawn(fn):
+        if not overlap:
+            fn()
+            return None
+        from pyspark import InheritableThread
+
+        def wrapped():
+            try:
+                fn()
+            except BaseException as e:  # surfaced at the next join point
+                side_errors.append(e)
+
+        th = InheritableThread(target=wrapped, daemon=True)
+        th.start()
+        side_threads.append(th)
+        return th
+
+    def _join_side():
+        for th in side_threads:
+            th.join()
+        if side_errors:
+            raise side_errors[0]
+
     # ---------------------------------------------------------- stage: docs
     # a single-file / post-crossJoin source arrives with few partitions;
     # everything downstream of the scan would then run serially
@@ -305,28 +341,101 @@ def build_index(
             docs_src = docs_src.withColumn(col, F.lit(""))
     if "mtime" not in docs_src.columns:
         docs_src = docs_src.withColumn("mtime", F.lit(None).cast("timestamp"))
-    if not committed("docs"):
-        cols = [
-            "doc_id", "repo", "path", "commit", "lang", "doc_type",
-            "size_bytes", "mtime", "content_sha256",
-        ]
-        # like the reference (content lives with the source, only metadata in
-        # the doc table, document/DocumentTable.java:17-32), content is only
-        # materialized into the index when snippet serving wants it local
-        if store_content:
-            cols.append("content")
-        commit("docs", docs_src.select(*cols),
-               partition_cols=["doc_id"], sort_cols=["doc_id"])
+    def _docs_stage():
+        t = time.perf_counter()
+        if not committed("docs"):
+            cols = [
+                "doc_id", "repo", "path", "commit", "lang", "doc_type",
+                "size_bytes", "mtime", "content_sha256",
+            ]
+            # like the reference (content lives with the source, only
+            # metadata in the doc table, document/DocumentTable.java:17-32),
+            # content is only materialized into the index when snippet
+            # serving wants it local
+            if store_content:
+                cols.append("content")
+            spark.sparkContext.setJobDescription("build: docs snapshot")
+            commit("docs", docs_src.select(*cols),
+                   partition_cols=["doc_id"], sort_cols=["doc_id"])
+        stage_secs["docs"] = round(time.perf_counter() - t, 3)
+
+    docs_thread = _spawn(_docs_stage)
+
+    # Pre-warm the Python worker pool while the (pure-JVM) docs snapshot
+    # runs: the first Arrow/pandas stage of a fresh session otherwise pays
+    # worker fork + numpy/pandas import + ArrowEval codegen ON the critical
+    # path (measured ~2-4 s at 32 cores). One empty batch per core, noop
+    # sink — constant cost, no data touched, nothing persisted.
+    def _prewarm_python():
+        spark.sparkContext.setJobDescription("build: python worker pre-warm")
+        n = spark.sparkContext.defaultParallelism
+
+        def _noop(batches):
+            for b in batches:
+                yield b
+
+        (
+            spark.range(0, n, 1, n)
+            .mapInPandas(_noop, "id long")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+
+    if overlap:
+        _spawn(_prewarm_python)
     if stop_requested("docs"):
         return None
-    docs = spark.read.parquet(_stage_dir(index_dir, "docs"))
+    if store_content and docs_thread is not None:
+        # the tokenizer reads content back from the snapshot — wait for it
+        docs_thread.join()
+        if side_errors:
+            raise side_errors[0]
     # the tokenizer needs content: from the snapshot when stored, else from
     # the (deterministically re-derivable) source frame
-    docs_for_tokens = docs if store_content else docs_src
+    docs_for_tokens = (
+        spark.read.parquet(_stage_dir(index_dir, "docs"))
+        if store_content
+        else docs_src
+    )
 
     doc_space = HASH_DOC_SPACE
-    if doc_id_mode == "dense" or precomputed_doc_id or "doc_id" in source.columns:
-        doc_space = int(docs.agg(F.max("doc_id")).first()[0]) + 1
+    n_docs_precomputed = None
+    space_box: dict = {}
+    space_thread = None
+    if precomputed_doc_id or "doc_id" in source.columns:
+        # pre-write frame: identical doc_id values to the snapshot, so no
+        # need to wait for the docs commit (column-pruned scan of doc_id).
+        # max and count fused into ONE job — stats needs n_docs anyway —
+        # and run on a side thread: the value is only needed once the
+        # bucket column is attached, after the tokenize plan is defined.
+        def _doc_space_job():
+            t = time.perf_counter()
+            row = docs_src.agg(
+                F.max("doc_id").alias("m"), F.count("*").alias("n")
+            ).first()
+            space_box["doc_space"] = int(row["m"]) + 1
+            space_box["n_docs"] = int(row["n"])
+            stage_secs["doc_space"] = round(time.perf_counter() - t, 3)
+
+        space_thread = _spawn(_doc_space_job)
+    elif doc_id_mode == "dense":
+        # dense assignment is expensive to re-derive — read the committed
+        # snapshot (requires the docs write to have finished)
+        t = time.perf_counter()
+        if docs_thread is not None:
+            docs_thread.join()
+            if side_errors:
+                raise side_errors[0]
+        doc_space = (
+            int(
+                spark.read.parquet(_stage_dir(index_dir, "docs"))
+                .agg(F.max("doc_id"))
+                .first()[0]
+            )
+            + 1
+        )
+        stage_secs["doc_space"] = round(time.perf_counter() - t, 3)
 
     # --------------------------------------------------- pipeline: term_doc
     # The (doc, term) frame is the LARGEST intermediate — bigger than the
@@ -335,6 +444,13 @@ def build_index(
     # and re-reading it three times). All query-facing stages below remain
     # durable snapshots.
     term_doc = tokenize_to_term_doc(docs_for_tokens, enable_stopwords, with_positions)
+    if space_thread is not None:
+        space_thread.join()
+        if side_errors:
+            raise side_errors[0]
+    if space_box:
+        doc_space = space_box["doc_space"]
+        n_docs_precomputed = space_box["n_docs"]
     term_doc = term_doc.withColumn(
         "bucket", _bucket_col(F.col("doc_id"), n_buckets, doc_space)
     )
@@ -354,44 +470,86 @@ def build_index(
         term_doc = term_doc.persist(StorageLevel.MEMORY_AND_DISK)
 
     # --------------------------------------------------------- stage: stats
+    # ONE vocabulary-sized aggregate serves three former full passes over
+    # term_doc: the stats total-token sum, the postings df join input, and
+    # the broadcast-regime vocabulary count. term_stats is df-capped
+    # (|vocabulary| rows) so persisting it is cheap at any corpus scale.
+    term_stats = None
+    if cache_term_doc:
+        term_stats = (
+            term_doc.groupBy("term")
+            .agg(F.count("*").alias("df"), F.sum("tf").alias("tokens"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+    _totals: List[tuple] = []  # [(total_tokens, n_terms)] computed at most once
+
+    def _term_totals():
+        if not _totals:
+            row = term_stats.agg(
+                F.sum("tokens").alias("t"), F.count("*").alias("n")
+            ).first()
+            _totals.append((int(row["t"] or 0), int(row["n"])))
+        return _totals[0]
+
+    t_stage = time.perf_counter()
+    stats = None
     if not committed("stats"):
-        n_docs = docs.count()
-        total_tokens = term_doc.agg(F.sum("tf")).first()[0] or 0
+        n_docs = (
+            n_docs_precomputed
+            if n_docs_precomputed is not None
+            else docs_src.count()
+        )
+        if term_stats is not None:
+            total_tokens, _ = _term_totals()
+        else:
+            total_tokens = term_doc.agg(F.sum("tf")).first()[0] or 0
         avgdl = float(total_tokens) / n_docs if n_docs else 0.0
-        stats_pdf = pd.DataFrame(
-            [
-                dict(
-                    build_id=build_id,
-                    n_docs=n_docs,
-                    total_tokens=int(total_tokens),
-                    avgdl=avgdl,
-                    # 2^63 (hash id space) overflows int64; -1 is its sentinel
-                    doc_space=doc_space if doc_space < HASH_DOC_SPACE else -1,
-                    n_buckets=n_buckets,
-                    enable_stopwords=enable_stopwords,
-                    with_positions=with_positions,
-                )
-            ]
+        stats = dict(
+            build_id=build_id,
+            n_docs=n_docs,
+            total_tokens=int(total_tokens),
+            avgdl=avgdl,
+            # 2^63 (hash id space) overflows int64; -1 is its sentinel
+            doc_space=doc_space if doc_space < HASH_DOC_SPACE else -1,
+            n_buckets=n_buckets,
+            enable_stopwords=enable_stopwords,
+            with_positions=with_positions,
         )
-        spark.createDataFrame(stats_pdf).coalesce(1).write.mode("overwrite").parquet(
-            _stage_dir(index_dir, "stats")
-        )
+        spark.createDataFrame(pd.DataFrame([stats])).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(_stage_dir(index_dir, "stats"))
         ran.append("stats")
+    stage_secs["stats"] = round(time.perf_counter() - t_stage, 3)
     if stop_requested("stats"):
         return None
-    stats = spark.read.parquet(_stage_dir(index_dir, "stats")).first().asDict()
+    if stats is None:  # resumed past a committed stats stage
+        stats = spark.read.parquet(_stage_dir(index_dir, "stats")).first().asDict()
 
     # ----------------------------------------------------- stage: doc_stats
-    if not committed("doc_stats"):
-        dl_per_doc = term_doc.groupBy("doc_id").agg(
-            F.sum("tf").cast("long").alias("token_count")
-        )
-        doc_stats = (
-            docs.drop("content")
-            .join(dl_per_doc, "doc_id", "left")
-            .fillna({"token_count": 0})
-        )
-        commit("doc_stats", doc_stats, partition_cols=["doc_id"], sort_cols=["doc_id"])
+    # independent of stats/postings — runs on a side thread in overlap mode
+    # (it only needs the docs snapshot and the now-materialized term_doc)
+    def _doc_stats_stage():
+        t = time.perf_counter()
+        if not committed("doc_stats"):
+            if docs_thread is not None:
+                docs_thread.join()
+                if side_errors:
+                    return  # docs failed; _join_side re-raises
+            spark.sparkContext.setJobDescription("build: doc_stats")
+            docs = spark.read.parquet(_stage_dir(index_dir, "docs"))
+            dl_per_doc = term_doc.groupBy("doc_id").agg(
+                F.sum("tf").cast("long").alias("token_count")
+            )
+            doc_stats = (
+                docs.drop("content")
+                .join(dl_per_doc, "doc_id", "left")
+                .fillna({"token_count": 0})
+            )
+            commit("doc_stats", doc_stats,
+                   partition_cols=["doc_id"], sort_cols=["doc_id"])
+        stage_secs["doc_stats"] = round(time.perf_counter() - t, 3)
+
+    _spawn(_doc_stats_stage)
     if stop_requested("doc_stats"):
         return None
 
@@ -402,6 +560,7 @@ def build_index(
     # (docs/PROJECT_SPEC.md:104-145); co-writing them here halves the
     # build's shuffle volume, and parquet column pruning keeps posting-only
     # scans from ever reading position bytes.
+    t_stage = time.perf_counter()
     if not committed("postings"):
         # block maxima MUST be encoded with the same avgdl the engine scores
         # with (engine floors avgdl at 1.0, QueryEngine.java:66-67); encoding
@@ -420,38 +579,53 @@ def build_index(
         #   whose hash(term) exchange WOULD satisfy the groupBy's
         #   clustered(term,bucket) requirement as-is, collapsing every
         #   bucket of a hot/stopword term (df→N) into ONE task; the
-        #   explicit repartition(term, bucket) re-splits them — one extra
-        #   exchange, paid only in this regime, bounded by the doc-range
-        #   bucketing contract (module docstring).
-        # The vocab count is one partial-agg job over the cached term_doc —
-        # noise next to the encode shuffle it sizes.
-        df_global = term_doc.groupBy("term").agg(F.count("*").alias("df"))
-        # without the term_doc cache the count would re-tokenize the whole
-        # corpus — low-memory builds take the (always-correct) SMJ path
-        n_terms = (
-            df_global.count() if cache_term_doc else broadcast_vocab_limit + 1
-        )
+        #   range repartition below re-splits them — one extra exchange,
+        #   paid only in this regime, bounded by the doc-range bucketing
+        #   contract (module docstring).
+        # The vocab count and df both come from the shared term_stats
+        # aggregate (computed once, vocabulary-sized).
+        if term_stats is not None:
+            _, n_terms = _term_totals()
+            df_global = term_stats.select("term", "df")
+        else:
+            # without the term_doc cache the count would re-tokenize the
+            # whole corpus — low-memory builds take the (always-correct)
+            # SMJ path
+            n_terms = broadcast_vocab_limit + 1
+            df_global = term_doc.groupBy("term").agg(F.count("*").alias("df"))
         thin = term_doc.select(
             "term", "bucket", "doc_id", "tf", "dl", "positions"
         )
         if n_terms <= broadcast_vocab_limit:
             joined = thin.join(F.broadcast(df_global), "term")
         else:
-            joined = thin.join(df_global, "term").repartition("term", "bucket")
+            joined = thin.join(df_global, "term")
+        # ONE exchange for the whole stage: range-partition the THIN rows
+        # by (term, bucket). Range partitioning is clustered on its keys,
+        # so the groupBy/applyInPandas encode reuses it (no second hash
+        # exchange — plan-pinned in tests/test_plans.py) AND the output is
+        # already laid out in contiguous term ranges for the write. The
+        # multi-KB encoded payloads are therefore written in place and
+        # NEVER cross an exchange (previously they were re-shuffled by a
+        # repartitionByRange over the encoded frame, with a persist to keep
+        # the kernel from running twice — both now gone). Boundary sampling
+        # runs over thin pre-encode rows, so range widths are df-weighted:
+        # hot/stopword terms spread across more files than cold ones, which
+        # keeps both encode tasks and file sizes balanced under term skew.
+        joined = joined.repartitionByRange(index_partitions, "term", "bucket")
         enc = joined.groupBy("term", "bucket").applyInPandas(
             _encode_groups(score_avgdl, with_positions), POSTINGS_SCHEMA
         )
-        # the kernel output still has TWO consumers (repartitionByRange's
-        # boundary sampling + the write) — persist so the most expensive
-        # kernel of the build runs once, not per consumer
-        enc = enc.persist(StorageLevel.MEMORY_AND_DISK)
-        commit("postings", enc, partition_cols=["term", "bucket"],
-               sort_cols=["term", "bucket"], how="range")
-        enc.unpersist()
+        enc.sortWithinPartitions("term", "bucket").write.mode(
+            "overwrite"
+        ).parquet(_stage_dir(index_dir, "postings"))
+        ran.append("postings")
+    stage_secs["postings"] = round(time.perf_counter() - t_stage, 3)
     if stop_requested("postings"):
         return None
 
     # ------------------------------------------------------ stage: manifest
+    t_stage = time.perf_counter()
     if not committed("manifest"):
         post = spark.read.parquet(_stage_dir(index_dir, "postings"))
         lineage = (
@@ -484,15 +658,20 @@ def build_index(
             _stage_dir(index_dir, "manifest")
         )
         ran.append("manifest")
+    stage_secs["manifest"] = round(time.perf_counter() - t_stage, 3)
 
+    _join_side()
     if cache_term_doc:
         term_doc.unpersist()
+    if term_stats is not None:
+        term_stats.unpersist()
     meta = dict(
         build_id=build_id,
         built_at_unix=int(t0),
         wall_secs=time.time() - t0,
         stages_run=ran,
         stages_skipped=skipped,
+        stage_secs=stage_secs,
     )
     with open(os.path.join(index_dir, "build_meta.json"), "w") as fh:
         json.dump(meta, fh, indent=2)
