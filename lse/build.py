@@ -320,11 +320,45 @@ def build_index(
         if side_errors:
             raise side_errors[0]
 
+    # Pre-warm the Python worker pool first: the first Arrow/pandas stage of
+    # a fresh session otherwise pays worker fork + numpy/pandas/tokenizer
+    # import + ArrowEval codegen ON the critical path (measured ~2-4 s at 32
+    # cores). One row per core, noop sink — constant cost, no data touched,
+    # nothing persisted. Spawned before the first plan evaluation below so
+    # session planning init overlaps it too.
+    def _prewarm_python():
+        spark.sparkContext.setJobDescription("build: python worker pre-warm")
+        n = spark.sparkContext.defaultParallelism
+
+        def _warm(batches):
+            # import (and first-call-warm) exactly what the tokenize and
+            # encode kernels use, so the real stages find hot workers
+            import pandas as _pd
+
+            from .tokenizer import tokenize_batch as _tb
+
+            _tb(_pd.Series(["warm up the tokenizer"]), True)
+            for b in batches:
+                yield b
+
+        (
+            spark.range(0, n, 1, n)
+            .mapInPandas(_warm, "id long")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+
+    if overlap:
+        _spawn(_prewarm_python)
+
     # ---------------------------------------------------------- stage: docs
     # a single-file / post-crossJoin source arrives with few partitions;
     # everything downstream of the scan would then run serially
+    t_stage = time.perf_counter()
     if source.rdd.getNumPartitions() < index_partitions // 2:
         source = source.repartition(index_partitions)
+    stage_secs["prep"] = round(time.perf_counter() - t_stage, 3)
     if precomputed_doc_id or "doc_id" in source.columns:
         docs_src = source
     else:
@@ -360,30 +394,6 @@ def build_index(
         stage_secs["docs"] = round(time.perf_counter() - t, 3)
 
     docs_thread = _spawn(_docs_stage)
-
-    # Pre-warm the Python worker pool while the (pure-JVM) docs snapshot
-    # runs: the first Arrow/pandas stage of a fresh session otherwise pays
-    # worker fork + numpy/pandas import + ArrowEval codegen ON the critical
-    # path (measured ~2-4 s at 32 cores). One empty batch per core, noop
-    # sink — constant cost, no data touched, nothing persisted.
-    def _prewarm_python():
-        spark.sparkContext.setJobDescription("build: python worker pre-warm")
-        n = spark.sparkContext.defaultParallelism
-
-        def _noop(batches):
-            for b in batches:
-                yield b
-
-        (
-            spark.range(0, n, 1, n)
-            .mapInPandas(_noop, "id long")
-            .write.format("noop")
-            .mode("overwrite")
-            .save()
-        )
-
-    if overlap:
-        _spawn(_prewarm_python)
     if stop_requested("docs"):
         return None
     if store_content and docs_thread is not None:
@@ -515,10 +525,17 @@ def build_index(
             enable_stopwords=enable_stopwords,
             with_positions=with_positions,
         )
-        spark.createDataFrame(pd.DataFrame([stats])).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(_stage_dir(index_dir, "stats"))
-        ran.append("stats")
+        # the write is off the critical path — postings only needs the
+        # in-memory avgdl; the snapshot lands before build returns
+        stats_row = dict(stats)
+
+        def _stats_write():
+            spark.createDataFrame(pd.DataFrame([stats_row])).coalesce(
+                1
+            ).write.mode("overwrite").parquet(_stage_dir(index_dir, "stats"))
+            ran.append("stats")
+
+        _spawn(_stats_write)
     stage_secs["stats"] = round(time.perf_counter() - t_stage, 3)
     if stop_requested("stats"):
         return None
@@ -625,36 +642,96 @@ def build_index(
         return None
 
     # ------------------------------------------------------ stage: manifest
+    # ONE distributed pass: each postings file is read as raw bytes exactly
+    # once per executor task, hashed (sha256 — the Spark-native analog of
+    # the reference's CRC32 footer, storage/StorageFileUtil.java:86-114),
+    # and its lineage stats parsed out of the SAME in-memory buffer with
+    # pyarrow. Previously this was two full reads of the postings dir (a
+    # parquet lineage agg + a binaryFile sha scan) joined together.
     t_stage = time.perf_counter()
     if not committed("manifest"):
-        post = spark.read.parquet(_stage_dir(index_dir, "postings"))
-        lineage = (
-            post.select(
-                _norm_file(F.input_file_name(), uri_encoded=True).alias("file"),
-                "term",
-                "bucket",
-                "df_shard",
-                F.octet_length("payload").alias("payload_bytes"),
+        import glob as _glob
+
+        paths = sorted(
+            os.path.abspath(p)
+            for p in _glob.glob(
+                os.path.join(_stage_dir(index_dir, "postings"), "*.parquet")
             )
-            .groupBy("file")
-            .agg(
-                F.min("term").alias("term_min"),
-                F.max("term").alias("term_max"),
-                F.min("bucket").alias("bucket_min"),
-                F.max("bucket").alias("bucket_max"),
-                F.count("*").alias("rows"),
-                F.sum("df_shard").alias("doc_count"),
-                F.sum("payload_bytes").alias("payload_bytes"),
-            )
-            .withColumn("build_id", F.lit(build_id))
-            .withColumn("stage", F.lit("postings"))
         )
-        # per-file sha256 over the raw bytes — the Spark-native analog of
-        # the reference's CRC32 footer on every index file
-        # (storage/StorageFileUtil.java:86-114): a distributed binaryFile
-        # scan, no driver-side hashing
-        lineage = lineage.join(_file_shas(spark, index_dir), "file", "left")
-        lineage.coalesce(1).write.mode("overwrite").parquet(
+        bid = build_id
+
+        def _manifest_batch(batches: Iterable[pd.DataFrame]):
+            import hashlib
+
+            import pyarrow as pa
+            import pyarrow.compute as pc
+            import pyarrow.parquet as pq
+
+            for b in batches:
+                out = []
+                for p in b["file"]:
+                    with open(p, "rb") as fh:
+                        raw = fh.read()
+                    sha = hashlib.sha256(raw).hexdigest()
+                    tbl = pq.ParquetFile(pa.BufferReader(raw)).read(
+                        columns=["term", "bucket", "df_shard", "payload"]
+                    )
+                    out.append(
+                        dict(
+                            file=p,
+                            term_min=pc.min(tbl.column("term")).as_py(),
+                            term_max=pc.max(tbl.column("term")).as_py(),
+                            bucket_min=pc.min(tbl.column("bucket")).as_py(),
+                            bucket_max=pc.max(tbl.column("bucket")).as_py(),
+                            rows=tbl.num_rows,
+                            doc_count=int(
+                                pc.sum(tbl.column("df_shard")).as_py() or 0
+                            ),
+                            payload_bytes=int(
+                                pc.sum(
+                                    pc.binary_length(tbl.column("payload"))
+                                ).as_py()
+                                or 0
+                            ),
+                            build_id=bid,
+                            stage="postings",
+                            file_sha256=sha,
+                            file_bytes=len(raw),
+                        )
+                    )
+                yield pd.DataFrame(
+                    out,
+                    columns=[
+                        "file", "term_min", "term_max", "bucket_min",
+                        "bucket_max", "rows", "doc_count", "payload_bytes",
+                        "build_id", "stage", "file_sha256", "file_bytes",
+                    ],
+                )
+
+        manifest_schema = (
+            "file string, term_min string, term_max string, "
+            "bucket_min int, bucket_max int, rows long, doc_count long, "
+            "payload_bytes long, build_id string, stage string, "
+            "file_sha256 string, file_bytes long"
+        )
+        if paths:
+            lineage = (
+                spark.createDataFrame(
+                    pd.DataFrame({"file": pd.Series(paths, dtype="object")})
+                )
+                .repartition(min(len(paths), 32))
+                .mapInPandas(_manifest_batch, manifest_schema)
+                # files with zero rows carry no lineage (parity with the old
+                # parquet-agg path, which grouped by input_file_name)
+                .filter(F.col("rows") > 0)
+            )
+        else:  # empty corpus — no postings part files
+            lineage = spark.createDataFrame([], manifest_schema)
+        # repartition(1), NOT coalesce(1): coalesce would pipeline the
+        # Python kernel into a single task that pays the per-invocation
+        # Arrow handshake once per upstream partition (measured 4.2 s vs
+        # 0.5 s); the explicit shuffle boundary keeps the kernel parallel
+        lineage.repartition(1).write.mode("overwrite").parquet(
             _stage_dir(index_dir, "manifest")
         )
         ran.append("manifest")
