@@ -343,6 +343,7 @@ def build_index(
 
         (
             spark.range(0, n, 1, n)
+            .repartition(n)  # exercise the shuffle write/read path too
             .mapInPandas(_warm, "id long")
             .write.format("noop")
             .mode("overwrite")
@@ -470,9 +471,11 @@ def build_index(
     # Caching trades 2 full recomputes (tokenize + explode + agg — ~100 s
     # per pass on a 5 GB corpus) for a block-manager resident set; the
     # 100k-file/5 GB target bench measures 256 s cached vs 392 s uncached
-    # at 32 threads (BENCH_TARGET.json), and at 1.28 M docs an A/B shows
-    # no penalty. Default ON; disable per call or via
-    # LSE_BUILD_CACHE_TERM_DOC=0 for memory-constrained drivers.
+    # at 32 threads (BENCH_TARGET.json), and a fresh-process A/B at a 28 MB
+    # corpus still favors the cache (10.9 s vs 13.6 s median build+queries:
+    # uncached consumers each repay first-stage init, and the overlapped
+    # side stages contend re-tokenizing). Default ON; disable per call or
+    # via LSE_BUILD_CACHE_TERM_DOC=0 for memory-constrained drivers.
     if cache_term_doc is None:
         env = os.environ.get("LSE_BUILD_CACHE_TERM_DOC")
         cache_term_doc = env is None or env not in ("0", "false", "no")
@@ -483,14 +486,14 @@ def build_index(
     # ONE vocabulary-sized aggregate serves three former full passes over
     # term_doc: the stats total-token sum, the postings df join input, and
     # the broadcast-regime vocabulary count. term_stats is df-capped
-    # (|vocabulary| rows) so persisting it is cheap at any corpus scale.
-    term_stats = None
-    if cache_term_doc:
-        term_stats = (
-            term_doc.groupBy("term")
-            .agg(F.count("*").alias("df"), F.sum("tf").alias("tokens"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
+    # (|vocabulary| rows) so persisting it is cheap at any corpus scale —
+    # it is kept even when term_doc itself is not cached (one tokenize
+    # pass materializes it; every later consumer reads the tiny cache).
+    term_stats = (
+        term_doc.groupBy("term")
+        .agg(F.count("*").alias("df"), F.sum("tf").alias("tokens"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     _totals: List[tuple] = []  # [(total_tokens, n_terms)] computed at most once
 
     def _term_totals():
@@ -509,10 +512,7 @@ def build_index(
             if n_docs_precomputed is not None
             else docs_src.count()
         )
-        if term_stats is not None:
-            total_tokens, _ = _term_totals()
-        else:
-            total_tokens = term_doc.agg(F.sum("tf")).first()[0] or 0
+        total_tokens, _ = _term_totals()
         avgdl = float(total_tokens) / n_docs if n_docs else 0.0
         stats = dict(
             build_id=build_id,
@@ -600,16 +600,9 @@ def build_index(
         #   paid only in this regime, bounded by the doc-range bucketing
         #   contract (module docstring).
         # The vocab count and df both come from the shared term_stats
-        # aggregate (computed once, vocabulary-sized).
-        if term_stats is not None:
-            _, n_terms = _term_totals()
-            df_global = term_stats.select("term", "df")
-        else:
-            # without the term_doc cache the count would re-tokenize the
-            # whole corpus — low-memory builds take the (always-correct)
-            # SMJ path
-            n_terms = broadcast_vocab_limit + 1
-            df_global = term_doc.groupBy("term").agg(F.count("*").alias("df"))
+        # aggregate (computed once, vocabulary-sized, always cached).
+        _, n_terms = _term_totals()
+        df_global = term_stats.select("term", "df")
         thin = term_doc.select(
             "term", "bucket", "doc_id", "tf", "dl", "positions"
         )
@@ -740,8 +733,7 @@ def build_index(
     _join_side()
     if cache_term_doc:
         term_doc.unpersist()
-    if term_stats is not None:
-        term_stats.unpersist()
+    term_stats.unpersist()
     meta = dict(
         build_id=build_id,
         built_at_unix=int(t0),
