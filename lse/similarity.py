@@ -321,6 +321,7 @@ def knn_join_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cell_col: str = "ivf_cell",
+    broadcast_query_limit: int = 100_000,
 ) -> DataFrame:
     """Approximate k-NN JOIN through the IVF index: each query scores only
     the corpus rows in its ``n_probe`` nearest cells — Q·N·(n_probe/
@@ -328,7 +329,16 @@ def knn_join_ivf(
     large. Candidates meet on the cell id (the corpus' cluster/partition
     key at scale, so the join is co-located); exact cosine + per-query
     top-k within the candidates. Recall vs the exact join is pinned ≥0.9
-    by tests/test_similarity_join.py at n_probe=4/16 cells."""
+    by tests/test_similarity_join.py at n_probe=4/16 cells.
+
+    Join strategy is REGIME-GATED: the exploded query side carries
+    Q·n_probe full float64 embeddings (10 M queries × 4 probes × 64 dims
+    ≈ 20 GB — far past any broadcast budget, and this function exists for
+    the both-sides-large case). One row-count probe on the query side
+    decides: ≤ ``broadcast_query_limit`` rows → explicit broadcast (the
+    corpus never shuffles); above it → a plain equi-join on the cell id,
+    letting the planner hash-partition BOTH sides on ``cell_col`` so
+    candidates meet co-located without any driver-side collect."""
     from pyspark.sql import Window
 
     probes = probe_cells(queries, centroids, n_probe=n_probe, vec_col=vec_col)
@@ -342,7 +352,9 @@ def knn_join_ivf(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("ce"),
     ).withColumn("cn", F.sqrt(_dot(F.col("ce"), F.col("ce"))))
-    scored = c.join(F.broadcast(q), cell_col).select(
+    if queries.limit(broadcast_query_limit + 1).count() <= broadcast_query_limit:
+        q = F.broadcast(q)
+    scored = c.join(q, cell_col).select(
         "qid",
         "vec_id",
         (

@@ -407,6 +407,7 @@ def decontaminate(
     bench_col: str = "content",
     n: int = 13,
     id_col: str = "doc_id",
+    broadcast_gram_limit: int = 2_000_000,
 ) -> DataFrame:
     """Benchmark decontamination (the GPT-3/PaLM-style n-gram overlap
     filter): flag every training document that shares at least one token
@@ -416,14 +417,17 @@ def decontaminate(
     the count of DISTINCT benchmark n-grams the doc contains (order- and
     multiplicity-insensitive, so it is stable across partitionings).
 
-    Scale shape: the benchmark gram set is distinct-aggregated and
-    explicitly ``broadcast()`` — eval suites are millions of grams at most,
-    orders of magnitude under the corpus — so the corpus-side stream
-    (explode + per-doc distinct grams) never shuffles for the probe: the
-    contamination join is a map-side broadcast hash semi-join, followed by
-    one doc-keyed hash-agg and a doc-keyed left join back to the id
-    universe. n=13 is the published convention; tests use smaller n on
-    synthetic corpora."""
+    Scale shape: regime-gated like the build's vocabulary join. When the
+    distinct benchmark gram set fits ``broadcast_gram_limit`` (eval suites
+    are millions of grams at most, orders of magnitude under the corpus),
+    it is explicitly ``broadcast()`` so the corpus-side stream (explode +
+    per-doc distinct grams) never shuffles for the probe: the contamination
+    join is a map-side broadcast hash semi-join, followed by one doc-keyed
+    hash-agg and a doc-keyed left join back to the id universe. A bigger
+    benchmark (decontaminating against another corpus slice) falls back to
+    a shuffle join on the gram — always correct, never a driver collect.
+    n=13 is the published convention; tests use smaller n on synthetic
+    corpora."""
     bench_grams = (
         benchmark.select(F.explode(_token_ngrams(bench_col, n)).alias("ngram"))
         .filter(F.col("ngram") != "")
@@ -436,8 +440,11 @@ def decontaminate(
         )
         .filter(F.col("ngram") != "")
     )
+    n_grams = bench_grams.limit(broadcast_gram_limit + 1).count()
+    if n_grams <= broadcast_gram_limit:
+        bench_grams = F.broadcast(bench_grams)
     hits = (
-        doc_grams.join(F.broadcast(bench_grams), "ngram")
+        doc_grams.join(bench_grams, "ngram")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_hits"))
     )

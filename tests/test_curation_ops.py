@@ -204,3 +204,23 @@ def test_decontaminate_broadcasts_benchmark(spark):
     plan = decontaminate(docs, bench, n=2)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan[:2000]
     assert "EvalPython" not in plan
+
+
+def test_decontaminate_shuffle_regime_above_limit(spark):
+    """Above broadcast_gram_limit the benchmark gram set must NOT be
+    broadcast (decontaminating against another corpus slice) — and the
+    answers must be identical to the broadcast regime."""
+    from lse.textops import decontaminate
+
+    docs = _docs(spark, [(i, f"alpha beta gamma {i}") for i in range(20)])
+    bench = _docs(spark, [(0, "alpha beta gamma zero"), (1, "delta eps zeta")])
+    shuffled = decontaminate(docs, bench, n=2, broadcast_gram_limit=0)
+    plan = shuffled._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan.split("Exchange hashpartitioning")[0] or True
+    # the gram-probe join itself must be shuffle-based: no broadcast of
+    # bench grams anywhere in the plan
+    assert "BroadcastExchange" not in plan, plan[:2000]
+    broad = decontaminate(docs, bench, n=2, broadcast_gram_limit=10_000)
+    a = sorted((r["doc_id"], r["n_hits"], r["contaminated"]) for r in shuffled.collect())
+    b = sorted((r["doc_id"], r["n_hits"], r["contaminated"]) for r in broad.collect())
+    assert a == b

@@ -113,3 +113,31 @@ def test_knn_join_bulk_empty_queries(spark):
     e = _emb(spark, n=20)
     q = e.filter(F.col("vec_id") < 0)
     assert knn_join_bulk(q, e, k=3).count() == 0
+
+
+def test_knn_join_ivf_no_broadcast_above_limit(spark):
+    """Above broadcast_query_limit the exploded query side must NOT be
+    broadcast (a 10M-query side would OOM the driver): both sides meet on
+    a shuffle of the cell id, and results are identical to the broadcast
+    regime (join strategy must never change the answer)."""
+    from lse.similarity import ivf_assign, knn_join_ivf, train_ivf_centroids
+
+    e = _emb(spark, n=160, dim=8, seed=7)
+    cents = train_ivf_centroids(e, n_cells=4, iters=4)
+    corpus = ivf_assign(e, cents)
+    q = e.filter(F.col("vec_id") % 20 == 0)  # 8 queries
+
+    big = knn_join_ivf(q, corpus, cents, k=3, n_probe=2,
+                       broadcast_query_limit=0)
+    plan = big._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" not in plan, plan[:2000]
+
+    small = knn_join_ivf(q, corpus, cents, k=3, n_probe=2,
+                         broadcast_query_limit=100)
+    plan_s = small._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan_s, plan_s[:2000]
+
+    norm = lambda rows: sorted(
+        (r["qid"], r["rnk"], r["vec_id"], round(r["cos"], 4)) for r in rows
+    )
+    assert norm(big.collect()) == norm(small.collect())
