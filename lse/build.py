@@ -112,10 +112,16 @@ def _bucket_col(doc_id_col, n_buckets: int, doc_space: int):
 
 
 def _doctype_expr():
-    expr = F.lit(DEFAULT_DOCTYPE)
+    # ONE lower() + one literal-map probe per row. The previous
+    # when-chain evaluated lower(lang) once per branch — 23 ICU
+    # case-mapping calls per row, the single hottest frame in the docs
+    # stage under thread-dump sampling (guide §7.3). Dict keys are
+    # unique so first-match vs map-probe semantics are identical.
+    pairs = []
     for lang, dt in LANG_TO_DOCTYPE.items():
-        expr = F.when(F.lower(F.col("lang")) == lang, dt).otherwise(expr)
-    return expr
+        pairs.extend((F.lit(lang), F.lit(dt)))
+    mapping = F.create_map(*pairs)
+    return F.coalesce(mapping[F.lower(F.col("lang"))], F.lit(DEFAULT_DOCTYPE))
 
 
 def tokenize_to_term_doc(docs: DataFrame, enable_stopwords: bool = True,
@@ -455,16 +461,22 @@ def build_index(
     # and re-reading it three times). All query-facing stages below remain
     # durable snapshots.
     term_doc = tokenize_to_term_doc(docs_for_tokens, enable_stopwords, with_positions)
-    if space_thread is not None:
-        space_thread.join()
-        if side_errors:
-            raise side_errors[0]
-    if space_box:
-        doc_space = space_box["doc_space"]
-        n_docs_precomputed = space_box["n_docs"]
-    term_doc = term_doc.withColumn(
-        "bucket", _bucket_col(F.col("doc_id"), n_buckets, doc_space)
-    )
+
+    # The doc_space job result is needed only for n_docs (stats) and the
+    # bucket column (postings) — NOT for the tokenize pass or the
+    # vocabulary aggregate. Resolving it lazily lets the tokenize chain
+    # launch immediately and overlap the doc_space scan instead of
+    # serializing behind it (~2 s at bench scale). Idempotent.
+    def _resolve_space():
+        nonlocal doc_space, n_docs_precomputed
+        if space_thread is not None:
+            space_thread.join()
+            if side_errors:
+                raise side_errors[0]
+        if space_box:
+            doc_space = space_box["doc_space"]
+            n_docs_precomputed = space_box["n_docs"]
+
     from pyspark import StorageLevel
 
     # term_doc has three consumers (stats agg, doc_stats, postings encode).
@@ -507,12 +519,15 @@ def build_index(
     t_stage = time.perf_counter()
     stats = None
     if not committed("stats"):
+        # totals FIRST: this launches the tokenize pass right away; the
+        # doc_space side job finishes underneath it
+        total_tokens, _ = _term_totals()
+        _resolve_space()
         n_docs = (
             n_docs_precomputed
             if n_docs_precomputed is not None
             else docs_src.count()
         )
-        total_tokens, _ = _term_totals()
         avgdl = float(total_tokens) / n_docs if n_docs else 0.0
         stats = dict(
             build_id=build_id,
@@ -602,10 +617,11 @@ def build_index(
         # The vocab count and df both come from the shared term_stats
         # aggregate (computed once, vocabulary-sized, always cached).
         _, n_terms = _term_totals()
+        _resolve_space()
         df_global = term_stats.select("term", "df")
-        thin = term_doc.select(
-            "term", "bucket", "doc_id", "tf", "dl", "positions"
-        )
+        thin = term_doc.withColumn(
+            "bucket", _bucket_col(F.col("doc_id"), n_buckets, doc_space)
+        ).select("term", "bucket", "doc_id", "tf", "dl", "positions")
         if n_terms <= broadcast_vocab_limit:
             joined = thin.join(F.broadcast(df_global), "term")
         else:

@@ -6,6 +6,15 @@ import os
 
 from pyspark.sql import SparkSession
 
+# Netty 4.2 emits JFR events from its pooled allocator. The FIRST Arrow
+# allocation of the app triggers the static init of those event classes,
+# which loads the whole jdk.jfr runtime while every other task blocks on
+# the class-initialization monitor (observed: all 32 executor threads
+# parked in PooledByteBufAllocator.onAllocateChunk for 5-10 s, guide
+# §7.3 thread-dump method). Nothing here consumes JFR; turn the events
+# off so allocation never touches the event classes.
+_DRIVER_JVM_OPTS = "-Dio.netty.jfr.enabled=false"
+
 
 def get_spark(
     app_name: str = "lse",
@@ -35,7 +44,134 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("LSE_DRIVER_MEM", "48g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        # defaultJavaOptions is PREPENDED to any caller-supplied
+        # extraJavaOptions, so extra_conf can still pass its own flags
+        .config("spark.driver.defaultJavaOptions", _DRIVER_JVM_OPTS)
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
-    return b.getOrCreate()
+    spark = b.getOrCreate()
+    _warm_session(spark)
+    return spark
+
+
+def _warm_session(spark: SparkSession) -> None:
+    """One-time per-session warm-up of the generic engine machinery.
+
+    A fresh JVM pays first-use costs on whatever job happens to run
+    first: Janino compilation of the first generated classes, JIT of the
+    shuffle writer/reader and sort paths, parquet writer/committer init,
+    Arrow allocator init, and — the largest single item — forking one
+    Python daemon worker per core and importing numpy/pandas inside each
+    (~2 s at 32 cores). Left alone, those costs land inside the first
+    *real* build or query. Doing a constant amount of warm-up work at
+    session creation moves them to init time, exactly like a serving
+    system warming its worker pool before taking traffic. No user data
+    is touched and nothing is persisted: every job here runs over a few
+    dozen synthetic rows.
+
+    Skipped when the session is already warm (getOrCreate reuse) or when
+    ``LSE_SESSION_WARM=0`` (tests that count jobs / need cold sessions).
+    """
+    if os.environ.get("LSE_SESSION_WARM", "1") in ("0", "false", "no"):
+        return
+    try:
+        if spark.conf.get("spark.lse.session.warmed", "0") == "1":
+            return
+    except Exception:
+        pass
+    import shutil
+    import tempfile
+    import threading
+
+    from pyspark.sql import functions as F
+
+    errors: list = []
+
+    def _guard(fn):
+        def run():
+            try:
+                fn()
+            except Exception as e:  # warm-up is best-effort
+                errors.append(e)
+
+        return run
+
+    def warm_python_pool():
+        # fork + import the worker pool: one task per core so every
+        # daemon worker in the pool comes up with numpy/pandas and the
+        # tokenizer kernel hot (reused workers keep their imports)
+        n = spark.sparkContext.defaultParallelism
+
+        def f(batches):
+            import pandas as _pd
+
+            from .tokenizer import tokenize_batch as _tb
+
+            _tb(_pd.Series(["warm up the tokenizer"]), True)
+            for b in batches:
+                yield b
+
+        (
+            spark.range(0, n, 1, n)
+            .repartition(n)
+            .mapInPandas(f, "id long")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+
+    def warm_sql():
+        # shuffle + sort + parquet write/read + hash agg + broadcast
+        # join over 64 synthetic rows: first-use of the exchange, sort,
+        # committer and codegen paths
+        out = tempfile.mkdtemp(prefix="lse_warm_")
+        try:
+            df = spark.range(0, 64, 1, 4).select(
+                F.col("id"),
+                F.sha2(F.concat(F.lit("w"), F.col("id").cast("string")), 256).alias("s"),
+                (F.col("id") % 4).alias("k"),
+            )
+            (
+                df.repartition(4, "k")
+                .sortWithinPartitions("id")
+                .write.mode("overwrite")
+                .parquet(out)
+            )
+            back = spark.read.parquet(out)
+            small = spark.range(0, 4).select(F.col("id").alias("k"))
+            (
+                back.join(F.broadcast(small), "k")
+                .groupBy("k")
+                .agg(F.count("*").alias("c"), F.sum("id").alias("t"), F.max("s"))
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+
+    def warm_apply():
+        # FlatMapGroupsInPandas (the postings-encode operator shape)
+        (
+            spark.range(0, 8, 1, 2)
+            .select(F.col("id"), (F.col("id") % 2).alias("k"))
+            .groupBy("k")
+            .applyInPandas(lambda pdf: pdf, "id long, k long")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+
+    threads = [
+        threading.Thread(target=_guard(fn), daemon=True)
+        for fn in (warm_python_pool, warm_sql, warm_apply)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    try:
+        spark.conf.set("spark.lse.session.warmed", "1")
+    except Exception:
+        pass
