@@ -258,6 +258,70 @@ def build_index(
     ``stop_after_stage`` simulates a crash after that stage's snapshot commit
     (for resume tests). Returns None when stopped early.
     """
+    # Scale-adaptive codegen: below ~hundreds of MB of input, every build
+    # stage's whole-stage-codegen class costs more to Janino-compile (all
+    # sibling tasks block on the compile-cache KeyLock; thread-dump
+    # verified) than interpreted execution costs to run. Above the
+    # threshold, compiled code wins by far — so gate on the OPTIMIZER'S
+    # size estimate of the source, not a constant tuned to either regime.
+    codegen_prev: Optional[str] = None
+    try:
+        src_bytes = int(
+            source._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        src_bytes = None
+    small_input_limit = int(
+        os.environ.get("LSE_CODEGEN_BYTES_MIN", str(256 * 1024 * 1024))
+    )
+    if src_bytes is not None and 0 <= src_bytes < small_input_limit:
+        try:
+            codegen_prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+            spark.conf.set("spark.sql.codegen.wholeStage", "false")
+        except Exception:
+            codegen_prev = None
+    try:
+        return _build_index_impl(
+            spark, source, index_dir,
+            doc_id_mode=doc_id_mode,
+            precomputed_doc_id=precomputed_doc_id,
+            enable_stopwords=enable_stopwords,
+            with_positions=with_positions,
+            n_buckets=n_buckets,
+            index_partitions=index_partitions,
+            store_content=store_content,
+            build_id=build_id,
+            resume=resume,
+            stop_after_stage=stop_after_stage,
+            cache_term_doc=cache_term_doc,
+            broadcast_vocab_limit=broadcast_vocab_limit,
+        )
+    finally:
+        if codegen_prev is not None:
+            try:
+                spark.conf.set("spark.sql.codegen.wholeStage", codegen_prev)
+            except Exception:
+                pass
+
+
+def _build_index_impl(
+    spark: SparkSession,
+    source: DataFrame,
+    index_dir: str,
+    *,
+    doc_id_mode: str,
+    precomputed_doc_id: bool,
+    enable_stopwords: bool,
+    with_positions: bool,
+    n_buckets: int,
+    index_partitions: int,
+    store_content: bool,
+    build_id: Optional[str],
+    resume: bool,
+    stop_after_stage: Optional[str],
+    cache_term_doc: Optional[bool],
+    broadcast_vocab_limit: int,
+) -> Optional[BuildResult]:
     os.makedirs(index_dir, exist_ok=True)
     build_id = build_id or uuid.uuid4().hex[:12]
     ran: List[str] = []
@@ -356,7 +420,14 @@ def build_index(
             .save()
         )
 
-    if overlap:
+    # When the session-creation warmup (lse.session._warm_session) already
+    # forked and warmed the worker pool, a second pre-warm is a pure
+    # ~0.4 s job-scheduling tax — skip it.
+    try:
+        _session_warm = spark.conf.get("spark.lse.session.warmed", "0") == "1"
+    except Exception:
+        _session_warm = False
+    if overlap and not _session_warm:
         _spawn(_prewarm_python)
 
     # ---------------------------------------------------------- stage: docs
@@ -622,23 +693,36 @@ def build_index(
         thin = term_doc.withColumn(
             "bucket", _bucket_col(F.col("doc_id"), n_buckets, doc_space)
         ).select("term", "bucket", "doc_id", "tf", "dl", "positions")
-        if n_terms <= broadcast_vocab_limit:
-            joined = thin.join(F.broadcast(df_global), "term")
-        else:
-            joined = thin.join(df_global, "term")
         # ONE exchange for the whole stage: range-partition the THIN rows
         # by (term, bucket). Range partitioning is clustered on its keys,
         # so the groupBy/applyInPandas encode reuses it (no second hash
-        # exchange — plan-pinned in tests/test_plans.py) AND the output is
-        # already laid out in contiguous term ranges for the write. The
-        # multi-KB encoded payloads are therefore written in place and
-        # NEVER cross an exchange (previously they were re-shuffled by a
-        # repartitionByRange over the encoded frame, with a persist to keep
-        # the kernel from running twice — both now gone). Boundary sampling
-        # runs over thin pre-encode rows, so range widths are df-weighted:
-        # hot/stopword terms spread across more files than cold ones, which
-        # keeps both encode tasks and file sizes balanced under term skew.
-        joined = joined.repartitionByRange(index_partitions, "term", "bucket")
+        # exchange) AND the output is already laid out in contiguous term
+        # ranges for the write. The multi-KB encoded payloads are
+        # therefore written in place and NEVER cross an exchange
+        # (previously they were re-shuffled by a repartitionByRange over
+        # the encoded frame, with a persist to keep the kernel from
+        # running twice — both now gone). Boundary sampling runs over
+        # thin pre-encode rows, so range widths are df-weighted:
+        # hot/stopword terms spread across more files than cold ones,
+        # which keeps both encode tasks and file sizes balanced under
+        # term skew.
+        if n_terms <= broadcast_vocab_limit:
+            # repartition BEFORE the broadcast join: a broadcast hash
+            # join preserves the streamed side's partitioning, so the
+            # groupBy still sees clustered(term, bucket) — and the range
+            # boundary-sampling job no longer depends on the broadcast
+            # exchange, so Spark runs them concurrently instead of
+            # serializing sample → broadcast → shuffle.
+            joined = thin.repartitionByRange(
+                index_partitions, "term", "bucket"
+            ).join(F.broadcast(df_global), "term")
+        else:
+            # big-vocab regime: the sort-merge join inserts its own
+            # hash(term) exchange; re-split by (term, bucket) AFTER it so
+            # hot terms do not collapse into one task (see note above)
+            joined = thin.join(df_global, "term").repartitionByRange(
+                index_partitions, "term", "bucket"
+            )
         enc = joined.groupBy("term", "bucket").applyInPandas(
             _encode_groups(score_avgdl, with_positions), POSTINGS_SCHEMA
         )
@@ -723,7 +807,43 @@ def build_index(
             "payload_bytes long, build_id string, stage string, "
             "file_sha256 string, file_bytes long"
         )
-        if paths:
+        # Hashing is distributed only when the index is big enough for the
+        # executor fan-out to beat its own fixed cost (createDataFrame +
+        # Arrow handshakes + 2 jobs, ~0.5 s). Small indexes hash on the
+        # driver with a thread pool — same rows, one tiny write job. The
+        # gate is on actual on-disk bytes, so it scales itself.
+        _local_limit = int(
+            os.environ.get("LSE_MANIFEST_LOCAL_BYTES", str(64 * 1024 * 1024))
+        )
+        _total_bytes = sum(os.path.getsize(p) for p in paths)
+        if paths and _total_bytes <= _local_limit:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(16, len(paths))) as pool:
+                rows_out = [
+                    r
+                    for b in pool.map(
+                        lambda p: _manifest_batch(
+                            iter([pd.DataFrame({"file": [p]})])
+                        ),
+                        paths,
+                    )
+                    for pdf_out in b
+                    for r in pdf_out.to_dict("records")
+                    if r["rows"] > 0
+                ]
+            lineage = spark.createDataFrame(
+                pd.DataFrame(
+                    rows_out,
+                    columns=[
+                        "file", "term_min", "term_max", "bucket_min",
+                        "bucket_max", "rows", "doc_count", "payload_bytes",
+                        "build_id", "stage", "file_sha256", "file_bytes",
+                    ],
+                ),
+                manifest_schema,
+            )
+        elif paths:
             lineage = (
                 spark.createDataFrame(
                     pd.DataFrame({"file": pd.Series(paths, dtype="object")})

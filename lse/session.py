@@ -131,6 +131,12 @@ def _warm_session(spark: SparkSession) -> None:
                 F.col("id"),
                 F.sha2(F.concat(F.lit("w"), F.col("id").cast("string")), 256).alias("s"),
                 (F.col("id") % 4).alias("k"),
+                # touch the collation-aware string kernels: the FIRST
+                # lower()/contains() of the app initializes the ICU
+                # tables (CollationAwareUTF8String <clinit>) under a
+                # class-init monitor that every sibling task blocks on
+                F.lower(F.conv(F.col("id").cast("string"), 10, 16)).alias("lc"),
+                F.contains(F.col("id").cast("string"), F.lit("3")).alias("ct"),
             )
             (
                 df.repartition(4, "k")
