@@ -270,8 +270,15 @@ class SearchEngine:
         # stats, so a query's `term IN (…)` still prunes whole batches — a
         # bucket-only layout would force every term lookup to scan the
         # entire cache
+        # repartitionByRange, NOT hash: 8 distinct bucket values hashed
+        # into 8 partitions collide (~3 empty partitions, stragglers
+        # serially running 2-3 buckets' kernels — measured 2x on the
+        # forced top-k latency). Range partitioning puts exactly one
+        # bucket per partition; RangePartitioning(bucket) still satisfies
+        # the kernels' ClusteredDistribution(bucket), so the per-query
+        # exchange stays elided (tests/test_warm_plans.py).
         self.postings = (
-            self.postings.repartition(n_buckets, "bucket")
+            self.postings.repartitionByRange(n_buckets, "bucket")
             .sortWithinPartitions("term")
             .persist(StorageLevel.MEMORY_AND_DISK)
         )

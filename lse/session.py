@@ -25,6 +25,17 @@ def get_spark(
     master = master or os.environ.get("SPARK_GRAFT_MASTER") or "local[%s]" % (
         os.environ.get("SPARK_GRAFT_CPUS", "*")
     )
+    # Make the repo root importable in worker/daemon subprocesses no matter
+    # what the caller's cwd is: the preloading daemon module below and every
+    # kernel closure pickled by reference (`from .wand import ...`) need
+    # `import lse` to resolve inside the forked python workers. Must happen
+    # BEFORE the JVM launches so the env propagates.
+    _repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    _pp = os.environ.get("PYTHONPATH", "")
+    if _repo_root not in _pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            _repo_root + (os.pathsep + _pp if _pp else "")
+        )
     b = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -47,6 +58,12 @@ def get_spark(
         # defaultJavaOptions is PREPENDED to any caller-supplied
         # extraJavaOptions, so extra_conf can still pass its own flags
         .config("spark.driver.defaultJavaOptions", _DRIVER_JVM_OPTS)
+        # fork workers from a daemon that has numpy/pandas and the lse
+        # kernel modules preloaded (fork COW) — otherwise each pooled
+        # worker pays the ~150 ms import chain the first time it sees a
+        # kernel UDF, and the FIFO idle pool makes that "first time"
+        # recur for many queries (see lse/spark_daemon.py)
+        .config("spark.python.daemon.module", "lse.spark_daemon")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
