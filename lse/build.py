@@ -587,6 +587,37 @@ def _build_index_impl(
             _totals.append((int(row["t"] or 0), int(row["n"])))
         return _totals[0]
 
+    # ----------------------------------------------------- stage: doc_stats
+    # independent of stats/postings — it only needs the docs snapshot
+    # (self-joins the docs thread) and term_doc. In overlap mode it is
+    # spawned BEFORE the stats aggregate so its join/write chain runs
+    # underneath stats+postings instead of gating the build tail; in
+    # sequential (crash-test) mode it keeps its place after stats so the
+    # committed-stage order matches the documented stage graph.
+    def _doc_stats_stage():
+        t = time.perf_counter()
+        if not committed("doc_stats"):
+            if docs_thread is not None:
+                docs_thread.join()
+                if side_errors:
+                    return  # docs failed; _join_side re-raises
+            spark.sparkContext.setJobDescription("build: doc_stats")
+            docs = spark.read.parquet(_stage_dir(index_dir, "docs"))
+            dl_per_doc = term_doc.groupBy("doc_id").agg(
+                F.sum("tf").cast("long").alias("token_count")
+            )
+            doc_stats = (
+                docs.drop("content")
+                .join(dl_per_doc, "doc_id", "left")
+                .fillna({"token_count": 0})
+            )
+            commit("doc_stats", doc_stats,
+                   partition_cols=["doc_id"], sort_cols=["doc_id"])
+        stage_secs["doc_stats"] = round(time.perf_counter() - t, 3)
+
+    if overlap:
+        _spawn(_doc_stats_stage)
+
     t_stage = time.perf_counter()
     stats = None
     if not committed("stats"):
@@ -628,31 +659,8 @@ def _build_index_impl(
     if stats is None:  # resumed past a committed stats stage
         stats = spark.read.parquet(_stage_dir(index_dir, "stats")).first().asDict()
 
-    # ----------------------------------------------------- stage: doc_stats
-    # independent of stats/postings — runs on a side thread in overlap mode
-    # (it only needs the docs snapshot and the now-materialized term_doc)
-    def _doc_stats_stage():
-        t = time.perf_counter()
-        if not committed("doc_stats"):
-            if docs_thread is not None:
-                docs_thread.join()
-                if side_errors:
-                    return  # docs failed; _join_side re-raises
-            spark.sparkContext.setJobDescription("build: doc_stats")
-            docs = spark.read.parquet(_stage_dir(index_dir, "docs"))
-            dl_per_doc = term_doc.groupBy("doc_id").agg(
-                F.sum("tf").cast("long").alias("token_count")
-            )
-            doc_stats = (
-                docs.drop("content")
-                .join(dl_per_doc, "doc_id", "left")
-                .fillna({"token_count": 0})
-            )
-            commit("doc_stats", doc_stats,
-                   partition_cols=["doc_id"], sort_cols=["doc_id"])
-        stage_secs["doc_stats"] = round(time.perf_counter() - t, 3)
-
-    _spawn(_doc_stats_stage)
+    if not overlap:
+        _spawn(_doc_stats_stage)  # synchronous in sequential mode
     if stop_requested("doc_stats"):
         return None
 
