@@ -129,15 +129,27 @@ class _ByteLRU:
 
 
 def _topk_order(ids: np.ndarray, scores: np.ndarray, k: int) -> np.ndarray:
-    """Indices of the top-k by (score desc, id asc) — argpartition narrows
-    to the score-threshold candidate set first, so selecting 10 of 1M costs
-    O(n) + a tiny sort instead of a full O(n log n) lexsort."""
+    """Indices of the top-k by (score desc, id asc) — a value partition
+    narrows to the score-threshold candidate set first, so selecting 10 of
+    1M costs O(n) + a tiny sort instead of a full O(n log n) lexsort.
+
+    The threshold partition runs on the int64 BIT VIEW of the scores:
+    IEEE-754 bit patterns of non-negative doubles order exactly like the
+    doubles (BM25 scores are never negative; ``+ 0.0`` normalizes -0.0),
+    and integer introselect is ~2-3x faster than the old
+    ``argpartition(-scores)`` — which also paid a full negated copy and
+    degraded badly on heavily tied score arrays."""
     n = ids.size
     if k >= n or n <= 4096:
         return np.lexsort((ids, -scores))[:k]
-    part = np.argpartition(-scores, k - 1)[:k]
-    thresh = scores[part].min()
-    cand = np.flatnonzero(scores >= thresh)
+    if scores.dtype == np.float64:
+        v = (scores + 0.0).view(np.int64)
+    elif np.issubdtype(scores.dtype, np.integer):
+        v = scores  # integer order needs no bit trick
+    else:
+        return np.lexsort((ids, -scores))[:k]
+    thresh = np.partition(v, n - k)[n - k]
+    cand = np.flatnonzero(v >= thresh)
     if cand.size == n:  # fully tied — the partition narrowed nothing
         return np.lexsort((ids, -scores))[:k]
     order = np.lexsort((ids[cand], -scores[cand]))[:k]
@@ -235,6 +247,10 @@ class LocalExecutor:
         # accumulator OR path (multi-term unions without a 4M-element sort)
         self._ranks_cache = _ByteLRU(cache_byte_budget // 4)
         self._meta: Optional[pd.DataFrame] = None
+        # (field/range node → sorted matching doc-id array). Exactly as
+        # consistent as self._meta itself: both live for this executor's
+        # lifetime and an index change builds a new engine+executor.
+        self._filter_ids_cache: dict = {}
         self._all_ids: Optional[np.ndarray] = None
         self._tc: Optional[pd.Series] = None
         # in-memory dictionary: sorted term array + (payload bytes, df) —
@@ -373,15 +389,45 @@ class LocalExecutor:
         if self._meta is None:
             cols = ["doc_id", "repo", "path", "lang", "doc_type", "size_bytes", "mtime"]
             have = [c for c in cols if c in self.engine.doc_stats.columns]
-            self._meta = (
+            pdf = (
                 self.engine.doc_stats.select(*have).toPandas().set_index("doc_id", drop=False)
             )
+            # equality-filtered low-cardinality columns as categoricals:
+            # `col == value` then compares small category codes instead of
+            # N python strings per query (~3 ms/query at 50k docs)
+            for c in ("repo", "lang", "doc_type"):
+                if c in pdf.columns:
+                    pdf[c] = pdf[c].astype("category")
+            self._meta = pdf
         return self._meta
 
     def all_doc_ids(self) -> np.ndarray:
         if self._all_ids is None:
             self._all_ids = np.sort(self.meta()["doc_id"].to_numpy(dtype=np.int64))
         return self._all_ids
+
+    def _sort_key_arrays(self, field: str):
+        """(sorted doc-id universe, aligned int64 sort-key values) for a
+        ``sort:size`` / ``sort:mtime`` directive — built once per field,
+        then every sorted query is a searchsorted instead of a pandas
+        hash reindex. Exactly as consistent as self._meta (same
+        lifetime)."""
+        key = ("sortkeys", field)
+        hit = self._filter_ids_cache.get(key)
+        if hit is not None:
+            return hit
+        m = self.meta()
+        ids = m["doc_id"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        if field == "size":
+            vals = m["size_bytes"].to_numpy()[order]
+        else:
+            vals = (
+                pd.to_datetime(m["mtime"], utc=True).astype("int64").to_numpy()[order]
+            )
+        pair = (ids[order], vals)
+        self._filter_ids_cache[key] = pair
+        return pair
 
     def fetch_terms(self, terms: List[str], prefixes: List[str]) -> None:
         """One term-pruned scan for all postings the query needs.
@@ -826,6 +872,17 @@ class LocalExecutor:
         return _ScoreSet(marr, total)
 
     def _eval_field(self, node: Field) -> _ScoreSet:
+        key = ("f", node.field, node.value)
+        ids = self._filter_ids_cache.get(key)
+        if ids is not None:
+            return _ScoreSet(ids, np.ones(ids.size))
+        ss = self._eval_field_uncached(node)
+        if len(self._filter_ids_cache) >= 256:
+            self._filter_ids_cache.pop(next(iter(self._filter_ids_cache)))
+        self._filter_ids_cache[key] = ss.ids
+        return ss
+
+    def _eval_field_uncached(self, node: Field) -> _ScoreSet:
         m = self.meta()
         f, v = node.field, node.value
         if f == "path":
@@ -849,6 +906,17 @@ class LocalExecutor:
         return _ScoreSet(ids, np.ones(ids.size))
 
     def _eval_range(self, node: Range) -> _ScoreSet:
+        key = ("r", node.field, node.lo, node.hi)
+        ids = self._filter_ids_cache.get(key)
+        if ids is not None:
+            return _ScoreSet(ids, np.ones(ids.size))
+        ss = self._eval_range_uncached(node)
+        if len(self._filter_ids_cache) >= 256:
+            self._filter_ids_cache.pop(next(iter(self._filter_ids_cache)))
+        self._filter_ids_cache[key] = ss.ids
+        return ss
+
+    def _eval_range_uncached(self, node: Range) -> _ScoreSet:
         m = self.meta()
         try:
             if node.field == "size":
@@ -966,11 +1034,11 @@ class LocalExecutor:
         res = self._eval(ast, positions)
         total = int(res.ids.size)
         if result.sort is not None and result.sort.field in ("mtime", "size"):
-            m = self.meta().loc[res.ids]
-            if result.sort.field == "size":
-                keys = m["size_bytes"].to_numpy()
-            else:
-                keys = pd.to_datetime(m["mtime"], utc=True).astype("int64").to_numpy()
+            uids, vals = self._sort_key_arrays(result.sort.field)
+            # every matched id exists in the doc universe (same build), so
+            # a binary search replaces the pandas .loc hash reindex
+            # (~2 ms/query at 50k docs)
+            keys = vals[np.searchsorted(uids, res.ids)]
             order = _topk_order(res.ids, keys, limit)  # int64 keys stay exact
         else:
             order = _topk_order(res.ids, res.scores, limit)
