@@ -15,6 +15,7 @@ last-ulp differences between JVM/numpy/DuckDB libm never flip the hash.
 from __future__ import annotations
 
 import os
+import shutil
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1012,23 +1013,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 spark.createDataFrame(chunk, ev.schema).coalesce(1).write.parquet(
                     os.path.join(src, f"chunk_{c}")
                 )
+                # explicit strictly-increasing mtimes: the file source
+                # sorts by modification time, and two chunks landing in
+                # the same mtime tick could replay out of order (the
+                # chronological-replay contract of this gate)
+                import time as _time
+                _t0 = _time.time()
+                os.utime(os.path.join(src, f"chunk_{c}"), (_t0 + c, _t0 + c))
         stream = (
             spark.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", 1)
             .parquet(src + "/*")
         )
         name = "lse_sess_updates_" + os.path.basename(src)[-8:]
-        q = (
-            stream_sessionize(stream, gap_minutes=30)
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("update")
-            .option("checkpointLocation", ck)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(600)
+        # 8 state partitions instead of the session's 32: every
+        # micro-batch pays a state-store read+commit per partition, and at
+        # gate scale that fixed cost dominates (the checkpoint is fresh
+        # per run, so the partition count is free to choose; results are
+        # partitioning-invariant). Restored right after the run.
+        _prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                stream_sessionize(stream, gap_minutes=30)
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("update")
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(600)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", _prev_sp)
         upd = spark.table(name)
+        shutil.rmtree(src, ignore_errors=True)  # memory sink holds the rows
+        shutil.rmtree(ck, ignore_errors=True)
         w = W.partitionBy("user_id", "session_id").orderBy(F.desc("n_events"))
         return (
             upd.withColumn("_rn", F.row_number().over(w))
@@ -1072,23 +1092,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 spark.createDataFrame(chunk, ev.schema).coalesce(1).write.parquet(
                     os.path.join(src, f"chunk_{c}")
                 )
+                # explicit strictly-increasing mtimes: the file source
+                # sorts by modification time, and two chunks landing in
+                # the same mtime tick could replay out of order (the
+                # chronological-replay contract of this gate)
+                import time as _time
+                _t0 = _time.time()
+                os.utime(os.path.join(src, f"chunk_{c}"), (_t0 + c, _t0 + c))
         stream = (
             spark.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", 1)
             .parquet(src + "/*")
         )
         name = "lse_win_updates_" + os.path.basename(src)[-8:]
-        q = (
-            stream_window_counts(stream, hours=1, watermark="2 hours")
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("update")
-            .option("checkpointLocation", ck)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(600)
+        _prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")  # see q_stream_sessions
+        try:
+            q = (
+                stream_window_counts(stream, hours=1, watermark="2 hours")
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("update")
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(600)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", _prev_sp)
         upd = spark.table(name)
+        shutil.rmtree(src, ignore_errors=True)  # memory sink holds the rows
+        shutil.rmtree(ck, ignore_errors=True)
         w = W.partitionBy("win_start", "event_type").orderBy(F.desc("n_events"))
         return (
             upd.withColumn("_rn", F.row_number().over(w))
