@@ -16,7 +16,37 @@ import tempfile
 import time
 
 
+def entry_audit() -> None:
+    """Time every __spark_entry__.queries() operator end-to-end (count()
+    sink) at the given SF — the whole-surface audit for the optimization
+    round. Usage: python bench_extra.py --entries [sf_dir]."""
+    sf = sys.argv[sys.argv.index("--entries") + 1] if (
+        len(sys.argv) > sys.argv.index("--entries") + 1
+    ) else "/root/testdata/sf0.01"
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from lse.session import get_spark
+
+    spark = get_spark(
+        "lse-entry-audit", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    import __spark_entry__ as m
+
+    out = {}
+    for name, fn in m.queries().items():
+        spark.sparkContext.setJobDescription(f"entry {name}")
+        t0 = time.perf_counter()
+        df = fn(spark, sf)
+        n = df.count()
+        out[name] = {"sec": round(time.perf_counter() - t0, 2), "rows": n}
+    print(json.dumps({"sf_dir": sf, "entries": out}))
+    spark.stop()
+
+
 def main() -> None:
+    if "--entries" in sys.argv:
+        return entry_audit()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf1.0")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     repeat = 1

@@ -270,15 +270,21 @@ class SearchEngine:
         # stats, so a query's `term IN (…)` still prunes whole batches — a
         # bucket-only layout would force every term lookup to scan the
         # entire cache
-        # repartitionByRange, NOT hash: 8 distinct bucket values hashed
-        # into 8 partitions collide (~3 empty partitions, stragglers
-        # serially running 2-3 buckets' kernels — measured 2x on the
-        # forced top-k latency). Range partitioning puts exactly one
-        # bucket per partition; RangePartitioning(bucket) still satisfies
-        # the kernels' ClusteredDistribution(bucket), so the per-query
-        # exchange stays elided (tests/test_warm_plans.py).
+        # HASH-partition by bucket, but into a partition count where
+        # murmur3 maps every bucket value to a DISTINCT partition: B
+        # distinct buckets hashed into B partitions collide (~3 empty
+        # partitions at B=8, stragglers serially running 2-3 buckets'
+        # kernels — measured 2x on the forced top-k latency). Range
+        # partitioning would also be collision-free but
+        # RangeShuffleSpec is never co-partition-compatible across two
+        # scans, which would re-insert an Exchange under the phrase
+        # tier's postings⋈positions cogroup; HashPartitioning keeps both
+        # the groupBy and the cogroup exchange-free
+        # (tests/test_warm_plans.py) and the empty extra partitions cost
+        # one ~ms no-op task each, all in parallel.
+        n_parts = self._collision_free_partitions(n_buckets)
         self.postings = (
-            self.postings.repartitionByRange(n_buckets, "bucket")
+            self.postings.repartition(n_parts, "bucket")
             .sortWithinPartitions("term")
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
@@ -319,6 +325,28 @@ class SearchEngine:
             except Exception:  # pragma: no cover — warm must never fail a load
                 pass
         return self
+
+    def _collision_free_partitions(self, n_buckets: int) -> int:
+        """Smallest partition count in [n_buckets, 4·n_buckets] for which
+        Spark's murmur3 hash sends every bucket id to a distinct
+        partition (pmod(hash(b), N) all-distinct). One tiny driver-side
+        job to read the engine's own hash values — no reimplementation
+        that could drift from the JVM. Falls back to n_buckets."""
+        try:
+            rows = (
+                self.spark.createDataFrame(
+                    [(i,) for i in range(n_buckets)], "b int"
+                )
+                .select(F.hash("b").alias("h"))
+                .collect()
+            )
+            hashes = [r["h"] for r in rows]
+            for n in range(n_buckets, 4 * n_buckets + 1):
+                if len({((h % n) + n) % n for h in hashes}) == n_buckets:
+                    return n
+        except Exception:  # pragma: no cover — warm must never fail a load
+            pass
+        return n_buckets
 
     def _prefetch_hot_terms(self, n_terms: int, n_positions: int) -> None:
         """Fill the local tier's decoded LRUs with the highest-df terms.

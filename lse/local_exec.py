@@ -697,6 +697,19 @@ class LocalExecutor:
         if isinstance(node, Not):
             child = self._eval(node.child, positions)
             universe = self.all_doc_ids()
+            # search the SMALLER side: child id sets are (almost always)
+            # subsets of the sorted universe, so locating |child| ids and
+            # knocking them out of a ones-mask beats |universe| binary
+            # searches into the child set. Validity is checked exactly —
+            # any non-member falls back to the general mask.
+            if 0 < child.ids.size < universe.size:
+                pos = np.searchsorted(universe, child.ids)
+                np.minimum(pos, universe.size - 1, out=pos)
+                if np.array_equal(universe[pos], child.ids):
+                    keep = np.ones(universe.size, dtype=bool)
+                    keep[pos] = False
+                    rest = universe[keep]
+                    return _ScoreSet(rest, np.zeros(rest.size))
             rest = universe[~member_mask(universe, child.ids)]
             return _ScoreSet(rest, np.zeros(rest.size))
         if isinstance(node, Bool):
