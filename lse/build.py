@@ -139,15 +139,26 @@ def tokenize_to_term_doc(docs: DataFrame, enable_stopwords: bool = True,
     Positions are the emitted-token indices (reference T1–T5 + A1
     semantics; tokenizer drops never consume a position)."""
 
-    def run(batches: Iterable[pd.DataFrame]):
-        empty = {
-            "doc_id": pd.Series(dtype="int64"),
-            "term": pd.Series(dtype="object"),
-            "tf": pd.Series(dtype="int32"),
-            "dl": pd.Series(dtype="int32"),
-            "positions": pd.Series(dtype="object"),
-        }
-        for pdf in batches:
+    def run(batches):
+        # mapInArrow: the output batch is assembled COLUMNARLY — in
+        # particular the positions list column comes straight from
+        # (offsets, flat int32 values) via ListArray.from_arrays, which
+        # replaces np.split's one tiny ndarray per (doc, term) row
+        # (~1.4 s per million rows) and the per-row object conversion
+        # back through pandas with two O(1)-per-batch buffer handoffs.
+        import pyarrow as pa
+
+        out_schema = pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("term", pa.string()),
+                ("tf", pa.int32()),
+                ("dl", pa.int32()),
+                ("positions", pa.list_(pa.int32())),
+            ]
+        )
+        for rb in batches:
+            pdf = rb.to_pandas()
             token_lists = tokenize_batch(pdf["content"], enable_stopwords)
             n_docs = len(pdf)
             counts = np.fromiter(
@@ -155,7 +166,7 @@ def tokenize_to_term_doc(docs: DataFrame, enable_stopwords: bool = True,
             )
             total = int(counts.sum())
             if total == 0:
-                yield pd.DataFrame(empty)
+                yield pa.RecordBatch.from_pylist([], schema=out_schema)
                 continue
             flat = np.empty(total, dtype=object)
             o = 0
@@ -179,26 +190,45 @@ def tokenize_to_term_doc(docs: DataFrame, enable_stopwords: bool = True,
             gkey = ks[starts]
             g_doc = (gkey >> np.int64(32)).astype(np.int64)
             g_code = (gkey & np.int64(0xFFFFFFFF)).astype(np.int64)
-            out = {
-                "doc_id": pdf["doc_id"].to_numpy(dtype=np.int64)[g_doc],
-                "term": uniq_terms[g_code],
-                "tf": tf,
-                "dl": counts[g_doc].astype(np.int32),
-            }
+            n_groups = starts.size
             if with_positions:
-                sorted_pos = pos_in_doc[order].astype(np.int32)
-                out["positions"] = np.split(sorted_pos, starts[1:])
+                offsets = np.empty(n_groups + 1, dtype=np.int32)
+                offsets[:-1] = starts
+                offsets[-1] = total
+                positions_arr = pa.ListArray.from_arrays(
+                    pa.array(offsets, type=pa.int32()),
+                    pa.array(pos_in_doc[order].astype(np.int32)),
+                )
             else:
-                out["positions"] = [None] * starts.size
-            yield pd.DataFrame(out)
+                positions_arr = pa.nulls(n_groups, type=pa.list_(pa.int32()))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(
+                        pdf["doc_id"].to_numpy(dtype=np.int64)[g_doc],
+                        type=pa.int64(),
+                    ),
+                    pa.array(uniq_terms[g_code], type=pa.string()),
+                    pa.array(tf, type=pa.int32()),
+                    pa.array(counts[g_doc].astype(np.int32), type=pa.int32()),
+                    positions_arr,
+                ],
+                schema=out_schema,
+            )
 
-    return docs.select("doc_id", "content").mapInPandas(run, TERM_DOC_SCHEMA)
+    return docs.select("doc_id", "content").mapInArrow(run, TERM_DOC_SCHEMA)
 
 
-def _encode_groups(avgdl: float, with_positions: bool):
+def _encode_groups(avgdl, with_positions: bool):
+    """``avgdl`` may be a float OR a one-key dict ({"v": float}) filled in
+    AFTER the plan is built: the kernel closure is pickled at action time,
+    so a mutable holder lets the postings plan be constructed (and
+    Catalyst-analyzed) concurrently with the stats job that produces the
+    real avgdl."""
+
     def encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
         from .codec import encode_positions
 
+        score_avgdl = avgdl["v"] if isinstance(avgdl, dict) else avgdl
         term, bucket = key
         pdf = pdf.sort_values("doc_id")
         ids = pdf["doc_id"].to_numpy(dtype=np.int64)
@@ -206,7 +236,7 @@ def _encode_groups(avgdl: float, with_positions: bool):
             ids,
             pdf["tf"].to_numpy(dtype=np.int64),
             pdf["dl"].to_numpy(dtype=np.int64),
-            avgdl=avgdl,
+            avgdl=score_avgdl,
         )
         if with_positions:
             pos_payload = encode_positions(ids, list(pdf["positions"]))
