@@ -218,29 +218,41 @@ def tokenize_to_term_doc(docs: DataFrame, enable_stopwords: bool = True,
     return docs.select("doc_id", "content").mapInArrow(run, TERM_DOC_SCHEMA)
 
 
-def _encode_groups(avgdl, with_positions: bool):
-    """``avgdl`` may be a float OR a one-key dict ({"v": float}) filled in
-    AFTER the plan is built: the kernel closure is pickled at action time,
-    so a mutable holder lets the postings plan be constructed (and
-    Catalyst-analyzed) concurrently with the stats job that produces the
-    real avgdl."""
+def _encode_groups(avgdl: float, with_positions: bool):
+    """Posting/position encode kernel (applyInPandas). The positions
+    column (object array of int32 arrays) is flattened through ONE
+    pyarrow list-array conversion — flat values + per-row lengths feed
+    the codec directly (`encode_positions_flat`), replacing a python
+    list() + per-row np.concatenate (2x kernel time at hot-term group
+    sizes). An applyInArrow variant was measured byte-identical and 2.5x
+    faster per group, but pyspark 4.1's grouped-Arrow input marshalling
+    is ~2x slower than the pandas one, losing more than the kernel
+    gained — so the pandas marshalling stays (see OPTIMIZATION_r06.md)."""
 
     def encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        from .codec import encode_positions
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-        score_avgdl = avgdl["v"] if isinstance(avgdl, dict) else avgdl
+        from .codec import encode_positions_flat
+
         term, bucket = key
-        pdf = pdf.sort_values("doc_id")
-        ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+        ids_raw = pdf["doc_id"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids_raw)
+        ids = ids_raw[order]
         enc = encode_postings(
             ids,
-            pdf["tf"].to_numpy(dtype=np.int64),
-            pdf["dl"].to_numpy(dtype=np.int64),
-            avgdl=score_avgdl,
+            pdf["tf"].to_numpy(dtype=np.int64)[order],
+            pdf["dl"].to_numpy(dtype=np.int64)[order],
+            avgdl=avgdl,
         )
         if with_positions:
-            pos_payload = encode_positions(ids, list(pdf["positions"]))
-            pos_n = len(pdf)
+            plist = pa.array(
+                pdf["positions"].to_numpy()[order], type=pa.list_(pa.int64())
+            )
+            counts = pc.list_value_length(plist).to_numpy().astype(np.int64)
+            flat = plist.flatten().to_numpy().astype(np.int64)
+            pos_payload = encode_positions_flat(ids, counts, flat)
+            pos_n = ids.size
         else:
             pos_payload = None
             pos_n = 0

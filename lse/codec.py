@@ -302,9 +302,30 @@ def encode_positions(doc_ids: np.ndarray, pos_lists) -> bytes:
     counts = np.fromiter((len(p) for p in pos_lists), dtype=np.int64, count=n)
     total = int(counts.sum())
     if total == 0:
-        flat_deltas = np.empty(0, dtype=np.int64)
+        flat = np.empty(0, dtype=np.int64)
     else:
         flat = np.concatenate([np.asarray(p, dtype=np.int64) for p in pos_lists])
+    return encode_positions_flat(doc_ids, counts, flat)
+
+
+def encode_positions_flat(
+    doc_ids: np.ndarray, counts: np.ndarray, flat: np.ndarray
+) -> bytes:
+    """Same encoding as :func:`encode_positions`, but from the flat
+    segment representation (per-doc counts + concatenated positions) —
+    the zero-object-churn input an Arrow list column provides directly.
+    ``encode_positions`` delegates here, so the two are byte-identical
+    by construction."""
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    counts = np.asarray(counts, dtype=np.int64)
+    flat = np.asarray(flat, dtype=np.int64)
+    n = doc_ids.size
+    if n == 0:
+        return b""
+    total = int(counts.sum())
+    if total == 0:
+        flat_deltas = np.empty(0, dtype=np.int64)
+    else:
         flat_deltas = np.empty(total, dtype=np.int64)
         flat_deltas[0] = flat[0]
         np.subtract(flat[1:], flat[:-1], out=flat_deltas[1:])
