@@ -882,17 +882,40 @@ def _build_index_impl(
                     for r in pdf_out.to_dict("records")
                     if r["rows"] > 0
                 ]
-            lineage = spark.createDataFrame(
-                pd.DataFrame(
-                    rows_out,
-                    columns=[
-                        "file", "term_min", "term_max", "bucket_min",
-                        "bucket_max", "rows", "doc_count", "payload_bytes",
-                        "build_id", "stage", "file_sha256", "file_bytes",
-                    ],
-                ),
-                manifest_schema,
+            # Below the gate the WRITE is driver-local too: one pyarrow
+            # parquet file + _SUCCESS, schema-typed exactly like the Spark
+            # write (string/int32/int64), read back by spark.read.parquet
+            # identically. The createDataFrame → repartition(1) → write
+            # round-trip cost two jobs + an Arrow handshake (~0.4-0.6 s)
+            # to move 32 driver-resident rows through the executors.
+            import pyarrow as _pa
+            import pyarrow.parquet as _pq
+
+            _mdir = _stage_dir(index_dir, "manifest")
+            os.makedirs(_mdir, exist_ok=True)
+            for _old in _glob.glob(os.path.join(_mdir, "*")):
+                os.remove(_old)
+            _cols = [
+                ("file", _pa.string()), ("term_min", _pa.string()),
+                ("term_max", _pa.string()), ("bucket_min", _pa.int32()),
+                ("bucket_max", _pa.int32()), ("rows", _pa.int64()),
+                ("doc_count", _pa.int64()), ("payload_bytes", _pa.int64()),
+                ("build_id", _pa.string()), ("stage", _pa.string()),
+                ("file_sha256", _pa.string()), ("file_bytes", _pa.int64()),
+            ]
+            _tbl = _pa.table(
+                {
+                    name: _pa.array([r[name] for r in rows_out], type=typ)
+                    for name, typ in _cols
+                }
             )
+            _pq.write_table(
+                _tbl, os.path.join(_mdir, "part-00000.parquet")
+            )
+            with open(os.path.join(_mdir, "_SUCCESS"), "w"):
+                pass
+            ran.append("manifest")
+            lineage = None
         elif paths:
             lineage = (
                 spark.createDataFrame(
@@ -910,10 +933,11 @@ def _build_index_impl(
         # Python kernel into a single task that pays the per-invocation
         # Arrow handshake once per upstream partition (measured 4.2 s vs
         # 0.5 s); the explicit shuffle boundary keeps the kernel parallel
-        lineage.repartition(1).write.mode("overwrite").parquet(
-            _stage_dir(index_dir, "manifest")
-        )
-        ran.append("manifest")
+        if lineage is not None:
+            lineage.repartition(1).write.mode("overwrite").parquet(
+                _stage_dir(index_dir, "manifest")
+            )
+            ran.append("manifest")
     stage_secs["manifest"] = round(time.perf_counter() - t_stage, 3)
 
     _join_side()
