@@ -55,7 +55,13 @@ TERM_DOC_SCHEMA = T.StructType(
         T.StructField("term", T.StringType()),
         T.StructField("tf", T.IntegerType()),
         T.StructField("dl", T.IntegerType()),
-        T.StructField("positions", T.ArrayType(T.IntegerType())),
+        # packed little-endian int32 — one binary blob per (doc, term) row.
+        # An array<int> column here cost ~2x the shuffle bytes (8B+ per
+        # element in UnsafeRow) and dominated the term_doc persist's
+        # serialization CPU (columnar cache compresses per element);
+        # positions only ever flow INTO the flat position codec, which
+        # wants the flat values anyway (np.frombuffer, zero parse).
+        T.StructField("positions", T.BinaryType()),
     ]
 )
 
@@ -154,7 +160,7 @@ def tokenize_to_term_doc(docs: DataFrame, enable_stopwords: bool = True,
                 ("term", pa.string()),
                 ("tf", pa.int32()),
                 ("dl", pa.int32()),
-                ("positions", pa.list_(pa.int32())),
+                ("positions", pa.binary()),
             ]
         )
         for rb in batches:
@@ -192,15 +198,28 @@ def tokenize_to_term_doc(docs: DataFrame, enable_stopwords: bool = True,
             g_code = (gkey & np.int64(0xFFFFFFFF)).astype(np.int64)
             n_groups = starts.size
             if with_positions:
+                # binary column straight from (byte offsets, packed int32
+                # values) — the same two O(1)-per-batch buffer handoffs as
+                # the former list<int32> layout, but downstream the blob
+                # shuffles/caches as ONE value per row
+                if total > (2**31 - 1) // 4:  # binary offsets are int32
+                    raise ValueError(
+                        "tokenize batch exceeds 2^29 positions; lower "
+                        "spark.sql.execution.arrow.maxRecordsPerBatch"
+                    )
                 offsets = np.empty(n_groups + 1, dtype=np.int32)
                 offsets[:-1] = starts
                 offsets[-1] = total
-                positions_arr = pa.ListArray.from_arrays(
-                    pa.array(offsets, type=pa.int32()),
-                    pa.array(pos_in_doc[order].astype(np.int32)),
+                np.multiply(offsets, 4, out=offsets)
+                vals = pos_in_doc[order].astype("<i4")
+                positions_arr = pa.Array.from_buffers(
+                    pa.binary(),
+                    n_groups,
+                    [None, pa.py_buffer(offsets.tobytes()),
+                     pa.py_buffer(vals.tobytes())],
                 )
             else:
-                positions_arr = pa.nulls(n_groups, type=pa.list_(pa.int32()))
+                positions_arr = pa.nulls(n_groups, type=pa.binary())
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(
@@ -230,9 +249,6 @@ def _encode_groups(avgdl: float, with_positions: bool):
     gained — so the pandas marshalling stays (see OPTIMIZATION_r06.md)."""
 
     def encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        import pyarrow as pa
-        import pyarrow.compute as pc
-
         from .codec import encode_positions_flat
 
         term, bucket = key
@@ -246,11 +262,15 @@ def _encode_groups(avgdl: float, with_positions: bool):
             avgdl=avgdl,
         )
         if with_positions:
-            plist = pa.array(
-                pdf["positions"].to_numpy()[order], type=pa.list_(pa.int64())
-            )
-            counts = pc.list_value_length(plist).to_numpy().astype(np.int64)
-            flat = plist.flatten().to_numpy().astype(np.int64)
+            # positions arrive as packed-int32 blobs (tokenizer contract):
+            # one join + frombuffer yields the flat stream the codec wants
+            blobs = pdf["positions"].to_numpy()[order]
+            counts = np.fromiter(
+                (len(b) for b in blobs), dtype=np.int64, count=blobs.size
+            ) >> 2
+            flat = np.frombuffer(
+                b"".join(blobs), dtype="<i4"
+            ).astype(np.int64)
             pos_payload = encode_positions_flat(ids, counts, flat)
             pos_n = ids.size
         else:
