@@ -598,8 +598,21 @@ def cosine_topk_pq(
             n = len(pdf)
             if not n:
                 continue
+            blobs = pdf[code_col].tolist()
+            bad = [
+                i for i, b in enumerate(blobs)
+                if b is None or len(b) != m
+            ]
+            if bad:  # a null/short code reshapes into garbage — name it
+                raise ValueError(
+                    "cosine_topk_pq: column %r has %d row(s) that are not "
+                    "%d-byte PQ codes (first bad %s=%r) — was pq_encode "
+                    "run over every row?"
+                    % (code_col, len(bad), m,
+                       id_col, pdf[id_col].iloc[bad[0]])
+                )
             codes_m = np.frombuffer(
-                b"".join(pdf[code_col].tolist()), dtype=np.uint8
+                b"".join(blobs), dtype=np.uint8
             ).reshape(n, m)
             score = lut[np.arange(m)[None, :], codes_m].sum(axis=1)
             top = np.lexsort((pdf[id_col].to_numpy(), -score))[:kk]
@@ -620,7 +633,10 @@ def cosine_topk_pq(
     return (
         part.orderBy(F.col("score").desc(), F.col("vec_id").asc())
         .limit(kk)
-        .select("vec_id", F.round("score", 6).alias("score"))
+        # honor the caller's id_col: downstream (e.g. the refine join)
+        # selects by that name, which raised AnalysisException for any
+        # non-default id_col (ADVICE r5)
+        .select(F.col("vec_id").alias(id_col), F.round("score", 6).alias("score"))
     )
 
 

@@ -143,3 +143,45 @@ def test_ivf_pq_composition(spark, pq):
     want = {r["vec_id"] for r in cosine_topk(e, qv, k=10).collect()}
     assert len(got & want) / 10 >= 0.7
     assert 0 in got  # the self-match survives both pruning stages
+
+
+def test_custom_id_col_flows_through_refine(spark, pq):
+    """ADVICE r5: cosine_topk_pq hardcoded its output column to vec_id, so
+    any non-default id_col raised AnalysisException in the refine join."""
+    from lse.similarity import cosine_topk_pq, cosine_topk_pq_refine
+
+    e, books, coded = pq
+    renamed = coded.select(
+        F.col("vec_id").alias("item_id"), "embedding", "pq_code"
+    )
+    qv = e.filter(F.col("vec_id") == 0).first()["embedding"]
+    adc = cosine_topk_pq(renamed, books, qv, k=5, id_col="item_id")
+    assert adc.columns == ["item_id", "score"]
+    # refine output keeps cosine_topk's documented (vec_id, cos) contract;
+    # the fix is that the ADC shortlist join no longer explodes on id_col
+    got = cosine_topk_pq_refine(
+        renamed, books, qv, k=5, id_col="item_id"
+    ).collect()
+    want = cosine_topk_pq_refine(coded, books, qv, k=5).collect()
+    assert [(r["vec_id"], r["cos"]) for r in got] == [
+        (r["vec_id"], r["cos"]) for r in want
+    ]
+
+
+def test_malformed_pq_code_raises_named_error(spark, pq):
+    """ADVICE r5: a null / wrong-length pq_code crashed the ADC kernel with
+    an opaque reshape TypeError; it must instead name the column and row."""
+    from pyspark.errors.exceptions.captured import PythonException
+
+    from lse.similarity import cosine_topk_pq
+
+    e, books, coded = pq
+    qv = e.filter(F.col("vec_id") == 0).first()["embedding"]
+    broken = coded.withColumn(
+        "pq_code",
+        F.when(F.col("vec_id") == 7, F.lit(b"\x00\x01")).otherwise(
+            F.col("pq_code")
+        ),
+    )
+    with pytest.raises(PythonException, match="8-byte PQ codes"):
+        cosine_topk_pq(broken, books, qv, k=5).collect()
