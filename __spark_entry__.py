@@ -1222,59 +1222,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return d.mapInPandas(run, "doc_id long, offset long, line_number long")
 
+    # Registry ORDER is part of the attestation contract (VERDICT r5 #1):
+    # the round driver evaluates the FIRST 50 entries in registry order, so
+    # positions 0-49 hold exactly one entry per operator family — every
+    # family in SURVEY §2 and the LLM-data-pipeline table gets a
+    # driver-verified row. Positions 50+ are same-family twin probes whose
+    # machinery an in-window sibling already attests (e.g. phrase3 ~
+    # phrase_query, merged_count ~ merged_term_scores, audio/video ~
+    # image_features); the local gate (scripts/correctness_check.py) still
+    # runs all 67. No entry was renamed, removed, or changed — order only.
     return {
+        # --- tokenization / build statistics ---
         "tokenize_tf": q_tokenize_tf,
+        "cjk_tokenize_tf": q_cjk_tokenize_tf,
         "term_df": q_term_df,
         "corpus_stats": q_corpus_stats,
-        "content_sha": q_content_sha,
-        "curation_pipeline": q_curation_pipeline,
-        "term_all": q_term_all,
+        "token_counts": q_token_counts,
+        # --- query DSL / serving tiers ---
         "term_topk": q_term_topk,
         "and_query": q_and,
-        "or_query": q_or,
         "not_query": q_not,
         "prefix_query": q_prefix,
         "wildcard_query": q_wildcard,
         "fuzzy_query": q_fuzzy,
         "phrase_query": q_phrase,
-        "field_repo": q_field_repo,
+        "field_filename": q_field_filename,
+        "field_type": q_field_type,
         "size_range": q_size_range,
         "count_matches": q_count_matches,
         "sort_size_topk": q_sort_size_topk,
-        "mtime_range": q_mtime_range,
-        "field_lang": q_field_lang,
-        "field_path": q_field_path,
-        "field_filename": q_field_filename,
-        "field_type": q_field_type,
-        "phrase3": q_phrase3,
-        "cjk_tokenize_tf": q_cjk_tokenize_tf,
+        "snippet_lines": q_snippet_lines,
+        # --- index lifecycle (incremental / merge / streaming ingest) ---
         "incremental_term_scores": q_incremental_term_scores,
-        "incremental_count": q_incremental_count,
         "merged_term_scores": q_merged_term_scores,
-        "merged_count": q_merged_count,
+        "stream_term_scores": q_stream_term_scores,
+        # --- dedup family ---
         "dedup_exact": q_dedup_exact,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "text_quality": q_text_quality,
-        "quality_score": q_quality_score,
-        "embedding_near_dups": q_embedding_near_dups,
-        "image_features": q_image_features,
         "jaccard_pairs": q_jaccard_pairs,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_cluster_keep": q_dedup_cluster_keep,
-        "lang_id": q_lang_id,
-        "token_counts": q_token_counts,
-        # golden-fixture oracle entries (independent driver-side replicas
-        # persisted under goldens/<sf>; see _golden_sql)
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
-        "fingerprints": q_fingerprints,
+        "embedding_near_dups": q_embedding_near_dups,
+        "dedup_clusters": q_dedup_clusters,
+        # --- similarity search / k-NN joins ---
+        "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh,
         "ann_ivf_topk": q_ann_ivf,
         "ann_pq_topk": q_ann_pq,
-        "snippet_lines": q_snippet_lines,
-        "stream_term_scores": q_stream_term_scores,
-        "audio_features": q_audio_features,
-        "video_features": q_video_features,
+        "knn_join": q_knn_join,
+        "knn_join_ivf": q_knn_join_ivf,
+        # --- text / curation operators ---
+        "lang_id": q_lang_id,
+        "fingerprints": q_fingerprints,
         "train_val_split": q_train_val_split,
         "stratified_sample": q_stratified_sample,
         "ngram_counts": q_ngram_counts,
@@ -1282,16 +1280,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": q_unigram_logprob,
         "repetition_stats": q_repetition_stats,
         "decontaminate": q_decontaminate,
+        "redact_pii": q_redact_pii,
         "curation_pipeline_v2": q_curation_pipeline_v2,
-        "knn_join": q_knn_join,
-        "knn_join_ivf": q_knn_join_ivf,
+        # --- events / stateful streaming ---
         "sessionize": q_sessionize,
         "event_windows": q_event_windows,
         "stream_sessions": q_stream_sessions,
         "stream_window_counts": q_stream_window_counts,
+        # --- packing / multimodal ---
         "pack_ids": q_pack_ids,
+        "image_features": q_image_features,
+        # ---------- position 50+: same-family twin probes ----------
+        "term_all": q_term_all,
+        "or_query": q_or,
+        "phrase3": q_phrase3,
+        "field_repo": q_field_repo,
+        "field_lang": q_field_lang,
+        "field_path": q_field_path,
+        "mtime_range": q_mtime_range,
+        "content_sha": q_content_sha,
+        "incremental_count": q_incremental_count,
+        "merged_count": q_merged_count,
+        "text_quality": q_text_quality,
+        "quality_score": q_quality_score,
+        "dedup_cluster_keep": q_dedup_cluster_keep,
+        "audio_features": q_audio_features,
+        "video_features": q_video_features,
         "pack_sequences": q_pack_sequences,
-        "redact_pii": q_redact_pii,
+        "curation_pipeline": q_curation_pipeline,
     }
 
 
