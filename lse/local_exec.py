@@ -787,8 +787,16 @@ class LocalExecutor:
                 total[ranks[m]] += ss.scores[m]
             if ok:
                 sel = np.flatnonzero(total)  # BM25 scores strictly positive
-                bidx = np.searchsorted(base_ranks, sel)
-                return _ScoreSet(universe[sel], base.scores[bidx] + total[sel])
+                # sel ⊆ base_ranks (total only accumulates where inbase),
+                # so a dense scatter of the base scores replaces the
+                # O(|sel| log |base|) binary search (measured 29 ms vs
+                # ~8 ms at 1 M-df terms over a 1.28 M-doc universe); the
+                # gathered values are the same float64 objects, so sums
+                # stay bit-identical. np.empty is safe: only base_ranks
+                # positions are written and only sel ⊆ base_ranks is read.
+                base_dense = np.empty(universe.size)
+                base_dense[base_ranks] = base.scores
+                return _ScoreSet(universe[sel], base_dense[sel] + total[sel])
         # fallback: binary-search each term against the base id set (same
         # t1,t2,…-then-base float order as the rank path / oracle)
         orsum = np.zeros(base.ids.size)
