@@ -701,11 +701,20 @@ class LocalExecutor:
             # subsets of the sorted universe, so locating |child| ids and
             # knocking them out of a ones-mask beats |universe| binary
             # searches into the child set. Validity is checked exactly —
-            # any non-member falls back to the general mask.
+            # any non-member falls back to the general mask. A Term child's
+            # universe ranks are already LRU-cached (+validated once per
+            # decode) by _term_ranks — reuse them instead of re-running the
+            # search + gather-compare per query (~30 ms at 1 M-df terms).
             if 0 < child.ids.size < universe.size:
-                pos = np.searchsorted(universe, child.ids)
-                np.minimum(pos, universe.size - 1, out=pos)
-                if np.array_equal(universe[pos], child.ids):
+                pos = None
+                if isinstance(node.child, Term):
+                    pos = self._term_ranks(node.child.term.lower(), child.ids)
+                if pos is None:
+                    cand = np.searchsorted(universe, child.ids)
+                    np.minimum(cand, universe.size - 1, out=cand)
+                    if np.array_equal(universe[cand], child.ids):
+                        pos = cand
+                if pos is not None:
                     keep = np.ones(universe.size, dtype=bool)
                     keep[pos] = False
                     rest = universe[keep]
@@ -734,12 +743,51 @@ class LocalExecutor:
                         return self._and_or_pushdown(a_node, terms, positions)
             left = self._eval(node.left, positions)
             right = self._eval(node.right, positions)
-            return (
-                left.intersect_sum(right)
-                if node.op == "AND"
-                else left.union_sum(right)
-            )
+            if node.op == "AND":
+                fast = self._intersect_sum_ranked(node, left, right)
+                if fast is not None:
+                    return fast
+                return left.intersect_sum(right)
+            return left.union_sum(right)
         return _ScoreSet.empty()
+
+    def _intersect_sum_ranked(
+        self, node: Bool, left: _ScoreSet, right: _ScoreSet
+    ) -> Optional[_ScoreSet]:
+        """Term AND Term over the cached universe-rank arrays: one boolean
+        scatter + gathers instead of intersect_sum's O(n log m) binary
+        search (29 ms → ~8 ms at two ~1 M-df terms over a 1.28 M-doc
+        universe). Pairings and operand values are identical to
+        intersect_sum and float64 addition is commutative, so scores are
+        bit-identical; output ids are the same sorted intersection.
+        Returns None (→ caller falls back) when either side is not a plain
+        Term, ranks are unavailable, or the sets are small enough that the
+        binary search wins (same |a|·8 > N threshold as the pushdown)."""
+        universe = self._all_ids
+        if (
+            universe is None
+            or not isinstance(node.left, Term)
+            or not isinstance(node.right, Term)
+        ):
+            return None
+        (a_set, a_node), (b_set, b_node) = sorted(
+            ((left, node.left), (right, node.right)),
+            key=lambda p: p[0].ids.size,
+        )
+        if a_set.ids.size == 0:
+            return _ScoreSet.empty()
+        if a_set.ids.size * 8 <= universe.size:
+            return None  # small side: binary search is cheaper than O(N)
+        ra = self._term_ranks(a_node.term.lower(), a_set.ids)
+        rb = self._term_ranks(b_node.term.lower(), b_set.ids)
+        if ra is None or rb is None:
+            return None
+        ina = np.zeros(universe.size, dtype=bool)
+        ina[ra] = True
+        m = ina[rb]
+        dense = np.empty(universe.size)
+        dense[ra] = a_set.scores
+        return _ScoreSet(b_set.ids[m], b_set.scores[m] + dense[rb[m]])
 
     def _and_or_pushdown(
         self, a_node: Node, terms: List[str], positions
