@@ -684,9 +684,20 @@ class LocalExecutor:
             return self._score_term(node.term)
         if isinstance(node, Prefix):
             p = node.prefix.lower()
+            terms = self._prefix_terms.get(p, [])
+            # expansion union: the dense accumulator is bit-identical to
+            # the chained union_sum (see _eval_or_accumulator) and skips
+            # its per-step np.unique sort; a 1-term expansion IS that
+            # term's score set (union with ∅ re-sorted ~1 M ids for
+            # nothing — 30 ms of the warm prefix class at 1.28 M docs)
+            if len(terms) >= 2:
+                got = self._eval_or_accumulator(terms)
+                if got is not None:
+                    return got
             out = _ScoreSet.empty()
-            for t in self._prefix_terms.get(p, []):
-                out = out.union_sum(self._score_term(t))
+            for t in terms:
+                ss = self._score_term(t)
+                out = ss if out.ids.size == 0 else out.union_sum(ss)
             return out
         if isinstance(node, Phrase):
             return self._eval_phrase(list(node.terms), positions)
