@@ -91,3 +91,103 @@ def test_filter_and_sort_caches_stable(spark, fixture_index):
         first = eng.search_result(q, 10)
         second = eng.search_result(q, 10)  # cache-hit path
         assert first[0] == second[0] and first[1] == second[1]
+
+
+@pytest.fixture(scope="module")
+def warm_engine(spark, fixture_index):
+    from lse.engine import SearchEngine
+
+    index_dir, _ = fixture_index
+    return SearchEngine(spark, index_dir).warm(
+        prefetch_terms=0, prefetch_positions=0
+    )
+
+
+def test_term_and_term_rank_path_fires_and_is_bit_identical(warm_engine):
+    """The Term-AND-Term rank-space intersection (one boolean scatter +
+    gathers) must actually FIRE for high-df terms on a warmed engine and
+    return the bit-exact _ScoreSet the generic intersect_sum produces."""
+    import lse.local_exec as lx
+
+    eng = warm_engine
+    loc = eng.local
+    # two terms with df large enough to cross the |a|*8 > N gate
+    order = np.argsort(loc._dict_df)[::-1]
+    t1, t2 = str(loc._dict_terms[order[0]]), str(loc._dict_terms[order[1]])
+    assert int(loc._dict_df[order[1]]) * 8 > eng.N
+    calls = {"fast": 0}
+    orig = lx.LocalExecutor._intersect_sum_ranked
+
+    def spy(self, node, left, right):
+        r = orig(self, node, left, right)
+        if r is not None:
+            calls["fast"] += 1
+        return r
+
+    lx.LocalExecutor._intersect_sum_ranked = spy
+    try:
+        hits, total = eng.search_result(f"{t1} AND {t2}", 1000)
+    finally:
+        lx.LocalExecutor._intersect_sum_ranked = orig
+    assert calls["fast"] == 1
+    # reference: the generic binary-search intersect_sum over the same sets
+    a = loc._score_term(t1)
+    b = loc._score_term(t2)
+    want = a.intersect_sum(b)
+    got_ids = np.array([d for d, _ in hits], dtype=np.int64)
+    got_scores = np.array([s for _, s in hits])
+    k = min(1000, want.ids.size)
+    order_w = np.lexsort((want.ids, -want.scores))[:k]
+    assert total == want.ids.size
+    assert np.array_equal(got_ids, want.ids[order_w])
+    # bit-identical scores (same operands, commutative float64 add)
+    assert np.array_equal(got_scores, want.scores[order_w])
+
+
+def test_not_rank_reuse_matches_mask_path(warm_engine):
+    """Negation reuses the cached term ranks; its result must equal the
+    general member_mask complement exactly."""
+    from lse.ids import member_mask
+
+    eng = warm_engine
+    loc = eng.local
+    order = np.argsort(loc._dict_df)[::-1]
+    t = str(loc._dict_terms[order[0]])
+    hits, total = eng.search_result(f"-{t}", 1000)
+    universe = loc.all_doc_ids()
+    child = loc._score_term(t)
+    want = universe[~member_mask(universe, child.ids)]
+    assert total == want.size
+    got = np.sort(np.array([d for d, _ in hits], dtype=np.int64))
+    assert len(hits) == min(1000, want.size)
+    assert np.array_equal(got, np.sort(want)[: len(hits)])
+    assert all(s == 0.0 for _, s in hits)
+
+
+def test_prefix_expansion_accumulator_matches_chained_union(warm_engine):
+    """Prefix expansion now routes >=2-term expansions through the dense OR
+    accumulator and returns 1-term expansions directly; results must be
+    bit-identical to the chained union_sum."""
+    from lse.local_exec import _ScoreSet
+
+    eng = warm_engine
+    loc = eng.local
+    # derive a prefix with a multi-term expansion from the dictionary
+    terms = [str(t) for t in loc._dict_terms]
+    by_pfx = {}
+    for t in terms:
+        by_pfx.setdefault(t[:2], []).append(t)
+    multi = sorted(p for p, ts in by_pfx.items() if len(ts) >= 2)
+    assert multi, "fixture vocabulary has no shared 2-char prefix"
+    p = multi[0]
+    hits, total = eng.search_result(f"{p}*", 1000)
+    out = _ScoreSet.empty()
+    for t in sorted(by_pfx[p]):
+        out = out.union_sum(loc._score_term(t))
+    k = min(1000, out.ids.size)
+    order_w = np.lexsort((out.ids, -out.scores))[:k]
+    assert total == out.ids.size
+    assert np.array_equal(
+        np.array([d for d, _ in hits], dtype=np.int64), out.ids[order_w]
+    )
+    assert np.array_equal(np.array([s for _, s in hits]), out.scores[order_w])
